@@ -1,0 +1,19 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Per SURVEY.md §4: multi-device behavior is validated with
+``xla_force_host_platform_device_count`` (no TPU needed in CI); float64 is
+enabled so assembly/solver numerics can be checked against f64 ground truth
+(the reference's OSQP path is f64).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
