@@ -1,0 +1,392 @@
+"""OSQP-semantics ADMM core, TPU-native.
+
+Re-implements the capability of the OSQP C solver the reference drives through
+``osqp-cpp`` (``/root/reference/src/osqp-wrapper.h:16-54``; algorithm per
+SURVEY.md §2.2): Ruiz equilibration, σ/ρ-regularized reduced-KKT solve, box
+projection, over-relaxed dual update, per-constraint ρ with adaptation,
+residual-based termination at OSQP-default tolerances, and primal/dual
+infeasibility certificates — but as a *fixed-shape, functional* JAX loop:
+
+* state is a pytree (:class:`ADMMState`); the loop is a ``lax.while_loop``
+  over chunks of ``check_termination`` iterations;
+* a ``done`` mask freezes converged problems so the solver ``vmap``s into a
+  batched solver with masked convergence (SURVEY.md §2.3 batch parallelism);
+* the KKT factor is carried in-state and refactorized only when ρ adapts
+  (mirroring OSQP's cached qdldl factorization, ``osqp-wrapper.h:33-43``).
+
+No data-dependent Python control flow: everything composes with ``jit``,
+``vmap``, ``shard_map``.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .ruiz import Scaling, identity_scaling, ruiz_equilibrate
+from .status import ExitCode
+
+# OSQP internal constants.
+RHO_MIN = 1e-6
+RHO_MAX = 1e6
+RHO_EQ_FACTOR = 1e3  # rho multiplier for equality rows
+RHO_TOL = 1e-4  # |u - l| below this (scaled) => equality row
+INF_THRESHOLD = 1e25
+DIV_TOL = 1e-10
+
+
+@dataclasses.dataclass(frozen=True)
+class Settings:
+    """OSQP-default settings (the reference never overrides them except
+    ``verbose``, ``osqp-wrapper.h:26-27``).
+
+    ``adaptive_rho_interval`` deviates from OSQP's wall-clock heuristic
+    (meaningless under jit): ρ is re-evaluated every this-many iterations.
+    """
+
+    rho: float = 0.1
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    eps_abs: float = 1e-3
+    eps_rel: float = 1e-3
+    eps_prim_inf: float = 1e-4
+    eps_dual_inf: float = 1e-4
+    max_iter: int = 4000
+    check_termination: int = 25
+    adaptive_rho: bool = True
+    adaptive_rho_interval: int = 50
+    adaptive_rho_tolerance: float = 5.0
+    scaling: int = 10  # Ruiz iterations; 0 disables
+
+
+@struct.dataclass
+class ADMMState:
+    x: jnp.ndarray  # scaled primal iterate (n,)
+    z: jnp.ndarray  # scaled constraint iterate (m,)
+    y: jnp.ndarray  # scaled dual iterate (m,)
+    dx: jnp.ndarray  # last-iteration deltas (for infeasibility certificates)
+    dy: jnp.ndarray
+    rho_bar: jnp.ndarray  # scalar ρ
+    rho_vec: jnp.ndarray  # per-row ρ (m,)
+    factor: object  # cached KKT factor pytree
+    iterations: jnp.ndarray  # int32
+    status: jnp.ndarray  # int32 ExitCode
+    done: jnp.ndarray  # bool — frozen problems stop updating
+    prim_res: jnp.ndarray
+    dual_res: jnp.ndarray
+
+
+@struct.dataclass
+class SolveResult:
+    """Structured per-problem solve output (replaces the reference's
+    exit-code + printf observability, SURVEY.md §5)."""
+
+    x: jnp.ndarray  # primal solution (unscaled)
+    y: jnp.ndarray  # dual solution (unscaled)
+    z: jnp.ndarray  # Ax at the solution (unscaled)
+    status: jnp.ndarray  # int32 ExitCode
+    iterations: jnp.ndarray
+    prim_res: jnp.ndarray
+    dual_res: jnp.ndarray
+    rho: jnp.ndarray
+    obj_val: jnp.ndarray
+
+
+def _rho_vec(rho_bar, l, u):
+    """Per-constraint ρ (OSQP semantics): equality rows get 1e3·ρ, loose rows
+    get RHO_MIN."""
+    loose = (l <= -INF_THRESHOLD) & (u >= INF_THRESHOLD)
+    eq = (u - l) < RHO_TOL
+    rho = jnp.where(eq, RHO_EQ_FACTOR * rho_bar, rho_bar)
+    rho = jnp.where(loose, RHO_MIN, rho)
+    return jnp.clip(rho, RHO_MIN, RHO_MAX)
+
+
+def _inf_norm(v):
+    return jnp.max(jnp.abs(v)) if v.shape[-1] else jnp.zeros(())
+
+
+def _admm_iteration(scaled, st: ADMMState, settings: Settings) -> ADMMState:
+    """One scaled ADMM iteration (OSQP §alg1; SURVEY.md §3.4):
+    x̃ = K⁻¹(σx − q + Aᵀ(ρz − y)); z̃ = Ax̃; over-relax; project; dual update."""
+    sigma = settings.sigma
+    alpha = settings.alpha
+
+    rhs = sigma * st.x - scaled.q + scaled.AT_matvec(st.rho_vec * st.z - st.y)
+    xt = scaled.kkt_solve(st.factor, rhs)
+    zt = scaled.A_matvec(xt)
+
+    x_new = alpha * xt + (1.0 - alpha) * st.x
+    z_tmp = alpha * zt + (1.0 - alpha) * st.z
+    z_new = jnp.clip(z_tmp + st.y / st.rho_vec, scaled.l, scaled.u)
+    y_new = st.y + st.rho_vec * (z_tmp - z_new)
+
+    # Masked convergence: frozen problems keep their iterates.
+    keep = st.done
+
+    def sel(new, old):
+        return jnp.where(keep, old, new)
+
+    return st.replace(
+        x=sel(x_new, st.x),
+        z=sel(z_new, st.z),
+        y=sel(y_new, st.y),
+        dx=sel(x_new - st.x, st.dx),
+        dy=sel(y_new - st.y, st.dy),
+        iterations=st.iterations + jnp.where(keep, 0, 1).astype(jnp.int32),
+    )
+
+
+def _termination(base, scaled, scaling: Scaling, st: ADMMState, settings: Settings):
+    """Unscaled residuals, OSQP termination + infeasibility certificates.
+
+    Returns updated state with ``done``/``status``/residuals set, plus the
+    normalization terms used for ρ adaptation.
+    """
+    Einv, Dinv, cinv = scaling.Einv, scaling.Dinv, scaling.cinv
+    m = st.z.shape[-1]
+
+    Ax = scaled.A_matvec(st.x)
+    Px = scaled.P_matvec(st.x)
+    ATy = scaled.AT_matvec(st.y)
+
+    prim_res = _inf_norm(Einv * (Ax - st.z))
+    dual_res = cinv * _inf_norm(Dinv * (Px + scaled.q + ATy))
+    prim_norm = jnp.maximum(_inf_norm(Einv * Ax), _inf_norm(Einv * st.z))
+    dual_norm = cinv * jnp.maximum(
+        jnp.maximum(_inf_norm(Dinv * Px), _inf_norm(Dinv * ATy)),
+        _inf_norm(Dinv * scaled.q),
+    )
+
+    eps_prim = settings.eps_abs + settings.eps_rel * prim_norm
+    eps_dual = settings.eps_abs + settings.eps_rel * dual_norm
+    solved = (prim_res <= eps_prim) & (dual_res <= eps_dual)
+    # 10x-relaxed tolerances — OSQP's "solved inaccurate" at max_iter.
+    solved_inacc = (prim_res <= 10 * eps_prim) & (dual_res <= 10 * eps_dual)
+    if m == 0:
+        solved = dual_res <= eps_dual
+        solved_inacc = dual_res <= 10 * eps_dual
+
+    # --- infeasibility certificates on unscaled deltas ----------------------
+    dy_u = cinv * scaling.E * st.dy
+    dx_u = scaling.D * st.dx
+    norm_dy = _inf_norm(dy_u)
+    norm_dx = _inf_norm(dx_u)
+
+    loose_u = base.u >= INF_THRESHOLD
+    loose_l = base.l <= -INF_THRESHOLD
+
+    # Primal infeasibility: Aᵀδy ≈ 0 and the support function of [l,u] at δy
+    # is negative (OSQP §3.4 with eps_prim_inf tolerances).
+    eps_p = settings.eps_prim_inf * norm_dy
+    At_dy = base.AT_matvec(dy_u)
+    dy_pos = jnp.maximum(dy_u, 0.0)
+    dy_neg = jnp.minimum(dy_u, 0.0)
+    support = jnp.sum(
+        jnp.where(loose_u, 0.0, base.u * dy_pos)
+        + jnp.where(loose_l, 0.0, base.l * dy_neg)
+    ) if m else jnp.zeros(())
+    inf_dir_ok = (
+        jnp.all(jnp.where(loose_u, dy_pos <= eps_p, True))
+        & jnp.all(jnp.where(loose_l, -dy_neg <= eps_p, True))
+    ) if m else jnp.array(False)
+    prim_inf = (
+        (norm_dy > DIV_TOL)
+        & (_inf_norm(At_dy) <= eps_p)
+        & (support <= -eps_p)
+        & inf_dir_ok
+    )
+
+    # Dual infeasibility: Pδx ≈ 0, qᵀδx < 0, Aδx in the recession cone.
+    eps_d = settings.eps_dual_inf * norm_dx
+    P_dx = base.P_matvec(dx_u)
+    A_dx = base.A_matvec(dx_u)
+    cone_ok = (
+        jnp.all(loose_u | (A_dx <= eps_d)) & jnp.all(loose_l | (A_dx >= -eps_d))
+    ) if m else jnp.array(True)
+    dual_inf = (
+        (norm_dx > DIV_TOL)
+        & (_inf_norm(P_dx) <= eps_d)
+        & (jnp.dot(base.q, dx_u) <= -eps_d)
+        & cone_ok
+    )
+
+    at_max = st.iterations >= settings.max_iter
+    new_status = jnp.where(
+        solved,
+        ExitCode.kOptimal,
+        jnp.where(
+            prim_inf,
+            ExitCode.kPrimalInfeasible,
+            jnp.where(
+                dual_inf,
+                ExitCode.kDualInfeasible,
+                jnp.where(
+                    at_max,
+                    jnp.where(
+                        solved_inacc, ExitCode.kOptimalInaccurate, ExitCode.kMaxIterations
+                    ),
+                    ExitCode.kUnknown,
+                ),
+            ),
+        ),
+    ).astype(jnp.int32)
+    newly_done = solved | prim_inf | dual_inf | at_max
+
+    st = st.replace(
+        status=jnp.where(st.done, st.status, new_status),
+        done=st.done | newly_done,
+        prim_res=jnp.where(st.done, st.prim_res, prim_res),
+        dual_res=jnp.where(st.done, st.dual_res, dual_res),
+    )
+    return st, (prim_res, dual_res, prim_norm, dual_norm)
+
+
+def _adapt_rho(scaled, st: ADMMState, norms, settings: Settings) -> ADMMState:
+    """OSQP adaptive ρ: rescale by sqrt of the primal/dual residual ratio,
+    refactorize the KKT when it moves by more than ``adaptive_rho_tolerance``."""
+    prim_res, dual_res, prim_norm, dual_norm = norms
+    pr = prim_res / jnp.maximum(prim_norm, DIV_TOL)
+    dr = dual_res / jnp.maximum(dual_norm, DIV_TOL)
+    new_rho = jnp.clip(
+        st.rho_bar * jnp.sqrt(pr / jnp.maximum(dr, DIV_TOL)), RHO_MIN, RHO_MAX
+    )
+    tol = settings.adaptive_rho_tolerance
+    adapt = (~st.done) & (
+        (new_rho > tol * st.rho_bar) | (new_rho < st.rho_bar / tol)
+    )
+
+    def do_adapt(st):
+        rho_bar = new_rho
+        rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
+        factor = scaled.kkt_factor(rho_vec, settings.sigma)
+        return st.replace(rho_bar=rho_bar, rho_vec=rho_vec, factor=factor)
+
+    return jax.lax.cond(adapt, do_adapt, lambda s: s, st)
+
+
+def init_state(
+    scaled,
+    settings: Settings,
+    warm_x: Optional[jnp.ndarray] = None,
+    warm_y: Optional[jnp.ndarray] = None,
+    scaling: Optional[Scaling] = None,
+) -> ADMMState:
+    """Cold (x=z=y=0) or warm-started scaled state + initial KKT factor.
+
+    ``warm_x``/``warm_y`` are *unscaled* (user-space) vectors — mirrors
+    ``SetPrimalWarmStart`` (``osqp-wrapper.h:45-49``); on warm start
+    ``z = A x`` so dynamics-consistent trajectories start feasible.
+    """
+    dtype = scaled.q.dtype
+    n = scaled.q.shape[-1]
+    m = scaled.l.shape[-1]
+    if scaling is None:
+        scaling = identity_scaling(n, m, dtype)
+    if warm_x is None:
+        x = jnp.zeros(n, dtype)
+        z = jnp.zeros(m, dtype)
+    else:
+        x = scaling.Dinv * jnp.asarray(warm_x, dtype)
+        z = scaled.A_matvec(x)
+    if warm_y is None:
+        y = jnp.zeros(m, dtype)
+    else:
+        y = scaling.c * scaling.Einv * jnp.asarray(warm_y, dtype)
+
+    rho_bar = jnp.asarray(settings.rho, dtype)
+    rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
+    factor = scaled.kkt_factor(rho_vec, settings.sigma)
+    return ADMMState(
+        x=x,
+        z=z,
+        y=y,
+        dx=jnp.zeros(n, dtype),
+        dy=jnp.zeros(m, dtype),
+        rho_bar=rho_bar,
+        rho_vec=rho_vec,
+        factor=factor,
+        iterations=jnp.zeros((), jnp.int32),
+        status=jnp.full((), ExitCode.kUnknown, jnp.int32),
+        done=jnp.zeros((), bool),
+        prim_res=jnp.full((), jnp.inf, dtype),
+        dual_res=jnp.full((), jnp.inf, dtype),
+    )
+
+
+def run_admm(base, scaled, scaling: Scaling, st: ADMMState, settings: Settings) -> ADMMState:
+    """Run the chunked ADMM loop to termination (all problems done or
+    ``max_iter``)."""
+
+    def cond(st):
+        return (~st.done) & (st.iterations < settings.max_iter)
+
+    def chunk(st):
+        st = jax.lax.fori_loop(
+            0,
+            settings.check_termination,
+            lambda i, s: _admm_iteration(scaled, s, settings),
+            st,
+        )
+        st, norms = _termination(base, scaled, scaling, st, settings)
+        if settings.adaptive_rho:
+            interval = max(
+                settings.adaptive_rho_interval, settings.check_termination
+            )
+            do = (st.iterations % interval) < settings.check_termination
+            st = jax.lax.cond(
+                do,
+                lambda s: _adapt_rho(scaled, s, norms, settings),
+                lambda s: s,
+                st,
+            )
+        return st
+
+    return jax.lax.while_loop(cond, chunk, st)
+
+
+def solve(
+    qp,
+    settings: Settings = Settings(),
+    warm_x: Optional[jnp.ndarray] = None,
+    warm_y: Optional[jnp.ndarray] = None,
+) -> SolveResult:
+    """Solve one QP end-to-end: equilibrate → ADMM → unscale.
+
+    Jit/vmap-friendly: ``jax.vmap(lambda qp: solve(qp, s))(batched_qp)`` gives
+    the batched solver with masked convergence (BASELINE config 2).
+    """
+    if settings.scaling > 0:
+        scaled, scaling = ruiz_equilibrate(qp, settings.scaling)
+    else:
+        scaled, scaling = qp, identity_scaling(
+            qp.q.shape[-1], qp.l.shape[-1], qp.q.dtype
+        )
+    st = init_state(scaled, settings, warm_x, warm_y, scaling)
+    st = run_admm(qp, scaled, scaling, st, settings)
+    return finalize(qp, scaling, st)
+
+
+def finalize(base, scaling: Scaling, st: ADMMState) -> SolveResult:
+    """Unscale iterates and package a :class:`SolveResult`."""
+    x = scaling.D * st.x
+    y = scaling.cinv * scaling.E * st.y
+    z = scaling.Einv * st.z
+    status = jnp.where(
+        st.done, st.status, jnp.full_like(st.status, ExitCode.kMaxIterations)
+    )
+    obj = 0.5 * jnp.dot(x, base.P_matvec(x)) + jnp.dot(base.q, x)
+    return SolveResult(
+        x=x,
+        y=y,
+        z=z,
+        status=status,
+        iterations=st.iterations,
+        prim_res=st.prim_res,
+        dual_res=st.dual_res,
+        rho=st.rho_bar,
+        obj_val=obj,
+    )

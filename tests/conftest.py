@@ -4,10 +4,14 @@ Per SURVEY.md §4: multi-device behavior is validated with
 ``xla_force_host_platform_device_count`` (no TPU needed in CI); float64 is
 enabled so assembly/solver numerics can be checked against f64 ground truth
 (the reference's OSQP path is f64).
+
+NOTE: this environment pre-imports JAX via a sitecustomize (PYTHONPATH
+axon_site) with ``JAX_PLATFORMS=axon`` pointing at a tunneled TPU — env vars
+set here are too late, so the platform is forced through ``jax.config``.
+``XLA_FLAGS`` still works because the CPU backend initializes lazily.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +20,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
