@@ -1,0 +1,594 @@
+"""Structured (block-banded) trajectory QP — the hot-path problem container.
+
+This is the TPU-native re-design of the reference's sparse-triplet CSC
+assembly (``/root/reference/src/constraints/constraint-builder.h``): instead
+of a general sparse matrix, the constraint Jacobian ``A`` is stored as its
+structural blocks (all shapes static in ``(W, N)``):
+
+* dynamics rows  ``v_t − q_{t+1} + q_t``   — coefficient array ``(W-1, N, 3)``
+* position/velocity box rows               — coefficient arrays ``(W, N)``
+* acceleration rows ``v_{t+1} − v_t``      — coefficient array ``(W-2, N, 2)``
+* workspace rows — per-ball ``(W, 3, N)`` Jacobian blocks (gripper XYZ) and
+  per-ball-per-obstacle ``(W, N)`` Z-row blocks
+
+The coefficient arrays start at the reference's ±1 stencils and absorb Ruiz
+scaling exactly, so the same ADMM core (``ops/admm.py``) runs unchanged.  The
+reduced KKT matrix ``P + σI + Aᵀdiag(ρ)A`` assembles directly into
+block-tridiagonal ``(W, 2N, 2N)`` form over interleaved per-waypoint
+``[q_t, v_t]`` states and factors with the scan-based block Cholesky in
+:mod:`osqp_solver_tpu.ops.tridiag` — O(W·(2N)³) sequential-in-W instead of
+general sparse LDLᵀ, and fully batchable.
+
+Row-space note: the reference over-allocates workspace rows by a factor
+``N/3`` and leaves them as all-zero rows with infinite bounds
+(``constraint-builder.h:43-44``); such rows are mathematically inert, so this
+container keeps only the *used* rows (flat row order otherwise identical:
+dyn, pos, vel, acc, then per ball per waypoint gripper-XYZ + obstacle rows,
+matching ``constraint-builder.h:90-122``).  ``row_map()`` gives the mapping
+into the reference's padded row space for parity tests.
+"""
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..ops.tridiag import (
+    block_tridiag_factor,
+    block_tridiag_matvec,
+    block_tridiag_solve,
+    block_tridiag_to_dense,
+)
+from .constraints import INF, INF_THRESHOLD
+from .layout import TrajectoryLayout, make_layout
+
+
+@struct.dataclass
+class TrajectoryQP:
+    # --- static structure ---------------------------------------------------
+    waypoints: int = struct.field(pytree_node=False)
+    n_dim: int = struct.field(pytree_node=False)
+    gripper_flags: Tuple[bool, ...] = struct.field(pytree_node=False)
+    n_obstacles: int = struct.field(pytree_node=False)
+
+    # --- objective: block-tridiagonal P over interleaved [q_t, v_t] ---------
+    P_diag: jnp.ndarray  # (W, 2N, 2N)
+    P_lower: jnp.ndarray  # (W-1, 2N, 2N)
+    q_vec: jnp.ndarray  # (2WN,) reference layout [q..., v...]
+
+    # --- constraint blocks --------------------------------------------------
+    dyn_coef: jnp.ndarray  # (W-1, N, 3): coeffs on [v_t, q_{t+1}, q_t]
+    dyn_l: jnp.ndarray  # (W-1, N)
+    dyn_u: jnp.ndarray
+    pos_coef: jnp.ndarray  # (W, N)
+    pos_l: jnp.ndarray
+    pos_u: jnp.ndarray
+    vel_coef: jnp.ndarray  # (W-1, N)
+    vel_l: jnp.ndarray
+    vel_u: jnp.ndarray
+    acc_coef: jnp.ndarray  # (W-2, N, 2): coeffs on [v_{t+1}, v_t]
+    acc_l: jnp.ndarray
+    acc_u: jnp.ndarray
+    ws_jac: jnp.ndarray  # (n_balls, W, 3, N) — zero for non-gripper balls
+    ws_l: jnp.ndarray  # (n_balls, W, 3)
+    ws_u: jnp.ndarray
+    obs_jac: jnp.ndarray  # (n_balls, n_obs, W, N)
+    obs_l: jnp.ndarray  # (n_balls, n_obs, W)
+    obs_u: jnp.ndarray
+
+    # ------------------------------------------------------------ structure
+
+    @property
+    def n_balls(self) -> int:
+        return len(self.gripper_flags)
+
+    @property
+    def n(self) -> int:
+        return 2 * self.waypoints * self.n_dim
+
+    @property
+    def m(self) -> int:
+        W, N = self.waypoints, self.n_dim
+        return (
+            (W - 1) * N
+            + W * N
+            + (W - 1) * N
+            + (W - 2) * N
+            + sum(W * self._rows_per_wp(b) for b in range(self.n_balls))
+        )
+
+    def _rows_per_wp(self, ball: int) -> int:
+        return (3 if self.gripper_flags[ball] else 0) + self.n_obstacles
+
+    # ---------------------------------------------------------- row packing
+
+    def _concat_rows(self, dyn, pos, vel, acc, ws, obs):
+        """Pack per-block row values into the flat (m,) vector.
+
+        ``ws``: (n_balls, W, 3); ``obs``: (n_balls, n_obs, W).  Per ball the
+        waypoint-major interleave of gripper XYZ rows then obstacle rows
+        mirrors ``constraint-builder.h:95-119``.
+        """
+        parts = [dyn.reshape(-1), pos.reshape(-1), vel.reshape(-1), acc.reshape(-1)]
+        for b in range(self.n_balls):
+            per_wp = []
+            if self.gripper_flags[b]:
+                per_wp.append(ws[b])  # (W, 3)
+            if self.n_obstacles:
+                per_wp.append(jnp.moveaxis(obs[b], 0, 1))  # (W, n_obs)
+            if per_wp:
+                parts.append(jnp.concatenate(per_wp, axis=1).reshape(-1))
+        return jnp.concatenate(parts) if parts else dyn.reshape(-1)
+
+    def _split_rows(self, y):
+        """Inverse of :meth:`_concat_rows` — returns (dyn, pos, vel, acc, ws,
+        obs) with ws/obs zero-filled for balls without those rows."""
+        W, N = self.waypoints, self.n_dim
+        sizes = [(W - 1) * N, W * N, (W - 1) * N, (W - 2) * N]
+        off = 0
+        outs = []
+        for s in sizes:
+            outs.append(y[off : off + s])
+            off += s
+        dyn = outs[0].reshape(W - 1, N)
+        pos = outs[1].reshape(W, N)
+        vel = outs[2].reshape(W - 1, N)
+        acc = outs[3].reshape(W - 2, N)
+        ws = jnp.zeros((self.n_balls, W, 3), dtype=y.dtype)
+        obs = jnp.zeros((self.n_balls, self.n_obstacles, W), dtype=y.dtype)
+        for b in range(self.n_balls):
+            rpw = self._rows_per_wp(b)
+            if rpw == 0:
+                continue
+            blk = y[off : off + W * rpw].reshape(W, rpw)
+            off += W * rpw
+            k = 0
+            if self.gripper_flags[b]:
+                ws = ws.at[b].set(blk[:, :3])
+                k = 3
+            if self.n_obstacles:
+                obs = obs.at[b].set(jnp.moveaxis(blk[:, k:], 0, 1))
+        return dyn, pos, vel, acc, ws, obs
+
+    def row_map(self) -> np.ndarray:
+        """Compact-row → reference padded-row indices (host-side, tests)."""
+        lay = self.layout()
+        idx = []
+        W, N = self.waypoints, self.n_dim
+        idx.extend(range((W - 1) * N))  # dynamics
+        idx.extend(range(lay.position_offset, lay.position_offset + W * N))
+        idx.extend(range(lay.velocity_offset, lay.velocity_offset + (W - 1) * N))
+        idx.extend(
+            range(lay.acceleration_offset, lay.acceleration_offset + (W - 2) * N)
+        )
+        for b in range(self.n_balls):
+            for t in range(W):
+                for k in range(self._rows_per_wp(b)):
+                    idx.append(lay.workspace_row(b, t, k))
+        return np.asarray(idx)
+
+    def layout(self) -> TrajectoryLayout:
+        return make_layout(
+            self.waypoints, self.n_dim, self.gripper_flags, self.n_obstacles
+        )
+
+    # --------------------------------------------------------- flat bounds
+
+    @property
+    def l(self):
+        return self._concat_rows(
+            self.dyn_l, self.pos_l, self.vel_l, self.acc_l, self.ws_l, self.obs_l
+        )
+
+    @property
+    def u(self):
+        return self._concat_rows(
+            self.dyn_u, self.pos_u, self.vel_u, self.acc_u, self.ws_u, self.obs_u
+        )
+
+    @property
+    def q(self):
+        return self.q_vec
+
+    # ---------------------------------------------------------- operators
+
+    def _qv(self, x):
+        W, N = self.waypoints, self.n_dim
+        return x[: W * N].reshape(W, N), x[W * N :].reshape(W, N)
+
+    def _interleave(self, x):
+        q, v = self._qv(x)
+        return jnp.concatenate([q, v], axis=1)  # (W, 2N)
+
+    def _deinterleave(self, s):
+        N = self.n_dim
+        return jnp.concatenate([s[:, :N].reshape(-1), s[:, N:].reshape(-1)])
+
+    def A_matvec(self, x):
+        q, v = self._qv(x)
+        c = self.dyn_coef
+        dyn = c[..., 0] * v[:-1] + c[..., 1] * q[1:] + c[..., 2] * q[:-1]
+        pos = self.pos_coef * q
+        vel = self.vel_coef * v[:-1]
+        a = self.acc_coef
+        acc = a[..., 0] * v[1:-1] + a[..., 1] * v[:-2]
+        ws = jnp.einsum("bwan,wn->bwa", self.ws_jac, q)
+        obs = jnp.einsum("bown,wn->bow", self.obs_jac, q)
+        return self._concat_rows(dyn, pos, vel, acc, ws, obs)
+
+    def AT_matvec(self, y):
+        dyn, pos, vel, acc, ws, obs = self._split_rows(y)
+        W, N = self.waypoints, self.n_dim
+        c = self.dyn_coef
+        a = self.acc_coef
+        qg = self.pos_coef * pos
+        qg = qg.at[1:].add(c[..., 1] * dyn)
+        qg = qg.at[:-1].add(c[..., 2] * dyn)
+        qg = qg + jnp.einsum("bwan,bwa->wn", self.ws_jac, ws)
+        qg = qg + jnp.einsum("bown,bow->wn", self.obs_jac, obs)
+        vg = jnp.zeros((W, N), dtype=y.dtype)
+        vg = vg.at[:-1].add(c[..., 0] * dyn + self.vel_coef * vel)
+        vg = vg.at[1:-1].add(a[..., 0] * acc)
+        vg = vg.at[:-2].add(a[..., 1] * acc)
+        return jnp.concatenate([qg.reshape(-1), vg.reshape(-1)])
+
+    def P_matvec(self, x):
+        s = self._interleave(x)
+        return self._deinterleave(block_tridiag_matvec(self.P_diag, self.P_lower, s))
+
+    # --------------------------------------------------------- Ruiz norms
+
+    def A_col_absmax(self):
+        W, N = self.waypoints, self.n_dim
+        c = jnp.abs(self.dyn_coef)
+        a = jnp.abs(self.acc_coef)
+        qm = jnp.abs(self.pos_coef)
+        qm = jnp.maximum(qm, jnp.pad(c[..., 2], ((0, 1), (0, 0))))
+        qm = jnp.maximum(qm, jnp.pad(c[..., 1], ((1, 0), (0, 0))))
+        qm = jnp.maximum(qm, jnp.max(jnp.abs(self.ws_jac), axis=(0, 2)))
+        if self.n_obstacles and self.n_balls:
+            qm = jnp.maximum(qm, jnp.max(jnp.abs(self.obs_jac), axis=(0, 1)))
+        vm = jnp.pad(jnp.maximum(jnp.abs(self.vel_coef), c[..., 0]), ((0, 1), (0, 0)))
+        vm = jnp.maximum(vm, jnp.pad(a[..., 1], ((0, 2), (0, 0))))
+        vm = jnp.maximum(vm, jnp.pad(a[..., 0], ((1, 1), (0, 0))))
+        return jnp.concatenate([qm.reshape(-1), vm.reshape(-1)])
+
+    def A_row_absmax(self):
+        dyn = jnp.max(jnp.abs(self.dyn_coef), axis=-1)
+        pos = jnp.abs(self.pos_coef)
+        vel = jnp.abs(self.vel_coef)
+        acc = jnp.max(jnp.abs(self.acc_coef), axis=-1)
+        ws = jnp.max(jnp.abs(self.ws_jac), axis=-1)
+        obs = jnp.max(jnp.abs(self.obs_jac), axis=-1)
+        return self._concat_rows(dyn, pos, vel, acc, ws, obs)
+
+    def P_col_absmax(self):
+        W = self.waypoints
+        pd = jnp.max(jnp.abs(self.P_diag), axis=1)  # (W, 2N) per-col max
+        if W > 1:
+            low_col = jnp.max(jnp.abs(self.P_lower), axis=1)  # cols in block t
+            low_row = jnp.max(jnp.abs(self.P_lower), axis=2)  # cols in block t+1
+            pd = pd.at[:-1].max(low_col)
+            pd = pd.at[1:].max(low_row)
+        return self._deinterleave(pd)
+
+    # ------------------------------------------------------------- scaling
+
+    def scale_data(self, D, E, c):
+        W, N = self.waypoints, self.n_dim
+        Dq, Dv = self._qv(D)
+        e_dyn, e_pos, e_vel, e_acc, e_ws, e_obs = self._split_rows(E)
+        d_int = self._interleave(D)  # (W, 2N)
+        P_diag = c * d_int[:, :, None] * self.P_diag * d_int[:, None, :]
+        P_lower = (
+            c * d_int[1:, :, None] * self.P_lower * d_int[:-1, None, :]
+            if W > 1
+            else self.P_lower
+        )
+        dyn_coef = jnp.stack(
+            [
+                self.dyn_coef[..., 0] * e_dyn * Dv[:-1],
+                self.dyn_coef[..., 1] * e_dyn * Dq[1:],
+                self.dyn_coef[..., 2] * e_dyn * Dq[:-1],
+            ],
+            axis=-1,
+        )
+        acc_coef = jnp.stack(
+            [
+                self.acc_coef[..., 0] * e_acc * Dv[1:-1],
+                self.acc_coef[..., 1] * e_acc * Dv[:-2],
+            ],
+            axis=-1,
+        )
+        return self.replace(
+            P_diag=P_diag,
+            P_lower=P_lower,
+            q_vec=c * D * self.q_vec,
+            dyn_coef=dyn_coef,
+            dyn_l=e_dyn * self.dyn_l,
+            dyn_u=e_dyn * self.dyn_u,
+            pos_coef=self.pos_coef * e_pos * Dq,
+            pos_l=e_pos * self.pos_l,
+            pos_u=e_pos * self.pos_u,
+            vel_coef=self.vel_coef * e_vel * Dv[:-1],
+            vel_l=e_vel * self.vel_l,
+            vel_u=e_vel * self.vel_u,
+            acc_coef=acc_coef,
+            acc_l=e_acc * self.acc_l,
+            acc_u=e_acc * self.acc_u,
+            ws_jac=self.ws_jac * e_ws[..., None] * Dq[None, :, None, :],
+            ws_l=e_ws * self.ws_l,
+            ws_u=e_ws * self.ws_u,
+            obs_jac=self.obs_jac * e_obs[..., None] * Dq[None, None, :, :],
+            obs_l=e_obs * self.obs_l,
+            obs_u=e_obs * self.obs_u,
+        )
+
+    # ------------------------------------------------------------ KKT path
+
+    def kkt_blocks(self, rho_vec, sigma):
+        """Assemble ``P + σI + Aᵀdiag(ρ)A`` as block-tridiagonal
+        ``(diag, lower)`` — direct structured scatter, no sparse formats."""
+        W, N = self.waypoints, self.n_dim
+        r_dyn, r_pos, r_vel, r_acc, r_ws, r_obs = self._split_rows(rho_vec)
+        jj = jnp.arange(N)
+        vv = N + jj
+
+        M_diag = self.P_diag + sigma * jnp.eye(2 * N, dtype=self.P_diag.dtype)
+        M_lower = self.P_lower
+
+        c0 = self.dyn_coef[..., 0]
+        c1 = self.dyn_coef[..., 1]
+        c2 = self.dyn_coef[..., 2]
+        M_diag = M_diag.at[:-1, jj, jj].add(r_dyn * c2 * c2)
+        M_diag = M_diag.at[:-1, vv, vv].add(r_dyn * c0 * c0)
+        M_diag = M_diag.at[:-1, jj, vv].add(r_dyn * c2 * c0)
+        M_diag = M_diag.at[:-1, vv, jj].add(r_dyn * c2 * c0)
+        M_diag = M_diag.at[1:, jj, jj].add(r_dyn * c1 * c1)
+        M_lower = M_lower.at[:, jj, jj].add(r_dyn * c1 * c2)
+        M_lower = M_lower.at[:, jj, vv].add(r_dyn * c1 * c0)
+
+        M_diag = M_diag.at[:, jj, jj].add(r_pos * self.pos_coef**2)
+        M_diag = M_diag.at[:-1, vv, vv].add(r_vel * self.vel_coef**2)
+
+        a0 = self.acc_coef[..., 0]
+        a1 = self.acc_coef[..., 1]
+        M_diag = M_diag.at[1:-1, vv, vv].add(r_acc * a0 * a0)
+        M_diag = M_diag.at[:-2, vv, vv].add(r_acc * a1 * a1)
+        M_lower = M_lower.at[: W - 2, vv, vv].add(r_acc * a0 * a1)
+
+        ws_c = jnp.einsum("bwan,bwa,bwam->wnm", self.ws_jac, r_ws, self.ws_jac)
+        M_diag = M_diag.at[:, :N, :N].add(ws_c)
+        if self.n_obstacles and self.n_balls:
+            obs_c = jnp.einsum(
+                "bown,bow,bowm->wnm", self.obs_jac, r_obs, self.obs_jac
+            )
+            M_diag = M_diag.at[:, :N, :N].add(obs_c)
+        return M_diag, M_lower
+
+    def kkt_factor(self, rho_vec, sigma):
+        return block_tridiag_factor(*self.kkt_blocks(rho_vec, sigma))
+
+    def kkt_solve(self, factor, rhs):
+        s = block_tridiag_solve(factor, self._interleave(rhs))
+        return self._deinterleave(s)
+
+    # --------------------------------------------------------------- dense
+
+    def to_dense(self):
+        """Materialize dense ``(P, q, A, l, u)`` in the reference variable
+        layout with *compact* rows (tests/ground-truth only)."""
+        n = self.n
+        x_basis = jnp.eye(n, dtype=self.q_vec.dtype)
+        A = jax.vmap(self.A_matvec, in_axes=1, out_axes=1)(x_basis)
+        P_int = block_tridiag_to_dense(self.P_diag, self.P_lower)
+        perm = self._perm_to_interleaved()
+        P = P_int[jnp.ix_(perm, perm)]
+        return P, self.q_vec, A, self.l, self.u
+
+    def _perm_to_interleaved(self):
+        """perm[i] = interleaved index of reference-layout variable i."""
+        W, N = self.waypoints, self.n_dim
+        q_idx = (jnp.arange(W)[:, None] * 2 * N + jnp.arange(N)[None, :]).reshape(-1)
+        v_idx = (jnp.arange(W)[:, None] * 2 * N + N + jnp.arange(N)[None, :]).reshape(-1)
+        return jnp.concatenate([q_idx, v_idx])
+
+
+# --------------------------------------------------------------------------
+# Constructors
+# --------------------------------------------------------------------------
+
+
+def smoothness_P_blocks(waypoints: int, n_dim: int, dtype=jnp.float64):
+    """The GOMP objective (``gomp-solver.h:61-64``) in block-tridiagonal form:
+    zero on positions, tridiag(2, -1) Laplacian across velocities."""
+    W, N = waypoints, n_dim
+    B = 2 * N
+    eyeN = jnp.eye(N, dtype=dtype)
+    d = jnp.zeros((B, B), dtype).at[N:, N:].set(2.0 * eyeN)
+    lo = jnp.zeros((B, B), dtype).at[N:, N:].set(-1.0 * eyeN)
+    return jnp.tile(d, (W, 1, 1)), jnp.tile(lo, (W - 1, 1, 1))
+
+
+def empty_trajectory_qp(
+    waypoints: int,
+    n_dim: int,
+    gripper_flags: Sequence[bool] = (),
+    n_obstacles: int = 0,
+    dtype=jnp.float64,
+) -> TrajectoryQP:
+    """Fresh trajectory QP: dynamics rows wired (l=u=0), smoothness P, all
+    other bounds at ±INF, workspace Jacobians zero (mirrors the
+    ``ConstraintBuilder`` constructor state, ``constraint-builder.h:30-45``)."""
+    W, N = waypoints, n_dim
+    nb = len(gripper_flags)
+    P_diag, P_lower = smoothness_P_blocks(W, N, dtype)
+    z = lambda *s: jnp.zeros(s, dtype)
+    neg = lambda *s: jnp.full(s, -INF, dtype)
+    pos = lambda *s: jnp.full(s, INF, dtype)
+    return TrajectoryQP(
+        waypoints=W,
+        n_dim=N,
+        gripper_flags=tuple(bool(g) for g in gripper_flags),
+        n_obstacles=int(n_obstacles),
+        P_diag=P_diag,
+        P_lower=P_lower,
+        q_vec=z(2 * W * N),
+        dyn_coef=jnp.broadcast_to(
+            jnp.asarray([1.0, -1.0, 1.0], dtype), (W - 1, N, 3)
+        ),
+        dyn_l=z(W - 1, N),
+        dyn_u=z(W - 1, N),
+        # Box-row coefficients start at zero: the reference emits a box row's
+        # identity coefficient only when position()/velocity() is called
+        # (constraint-builder.h:185-201); never-constrained rows stay all-zero.
+        pos_coef=z(W, N),
+        pos_l=neg(W, N),
+        pos_u=pos(W, N),
+        vel_coef=z(W - 1, N),
+        vel_l=neg(W - 1, N),
+        vel_u=pos(W - 1, N),
+        acc_coef=jnp.broadcast_to(jnp.asarray([1.0, -1.0], dtype), (W - 2, N, 2)),
+        acc_l=neg(W - 2, N),
+        acc_u=pos(W - 2, N),
+        ws_jac=z(nb, W, 3, N),
+        ws_l=neg(nb, W, 3),
+        ws_u=pos(nb, W, 3),
+        obs_jac=z(nb, n_obstacles, W, N),
+        obs_l=neg(nb, n_obstacles, W),
+        obs_u=pos(nb, n_obstacles, W),
+    )
+
+
+def _masked(new, old):
+    """Write ``new`` where finite, keep ``old`` where ``new`` is ±INF —
+    the reference's optional-bound write semantics
+    (``constraint-builder.h:173-183``)."""
+    return jnp.where(jnp.abs(new) >= INF_THRESHOLD, old, new)
+
+
+def with_gomp_boxes(
+    qp: TrajectoryQP,
+    start_pos,
+    end_pos,
+    pos_con,
+    vel_con,
+    acc_con,
+) -> TrajectoryQP:
+    """Apply the planner's box constraints (``gomp-solver.h:118-139``),
+    including the deliberate ``W-3`` endpoint quirk: ``q_0 = start``,
+    ``q_1..q_{W-2}`` boxed, ``q_{W-3} = end``, ``v_0..v_{W-4}`` boxed,
+    ``v_{W-3} = 0``, ``a_0..a_{W-4}`` boxed, ``a_{W-3} = 0``.
+
+    ``pos_con``/``vel_con``/``acc_con`` are ``(lower, upper)`` pairs of
+    ``(N,)`` arrays (±INF = unbounded); vel/acc already dt-scaled by the
+    caller (``gomp-solver.h:29-30``).
+    """
+    W, N = qp.waypoints, qp.n_dim
+    dt_ = qp.pos_l.dtype
+    start = jnp.asarray(start_pos, dt_)
+    end = jnp.asarray(end_pos, dt_)
+    pl, pu = (jnp.asarray(b, dt_) for b in pos_con)
+    vl, vu = (jnp.asarray(b, dt_) for b in vel_con)
+    al, au = (jnp.asarray(b, dt_) for b in acc_con)
+
+    # position() / velocity() calls write the identity coefficient for the
+    # rows they touch: q_0..q_{W-2} and v_0..v_{W-3} (v_{W-2} and q_{W-1}
+    # are never constrained by initConstraints — their rows stay zero).
+    one = jnp.ones((), dt_)
+    pos_coef = qp.pos_coef.at[: W - 1].set(one)
+    vel_coef = qp.vel_coef.at[: W - 2].set(one)
+
+    pos_l = qp.pos_l.at[0].set(start)
+    pos_u = qp.pos_u.at[0].set(start)
+    pos_l = pos_l.at[1 : W - 1].set(_masked(pl, pos_l[1 : W - 1]))
+    pos_u = pos_u.at[1 : W - 1].set(_masked(pu, pos_u[1 : W - 1]))
+    pos_l = pos_l.at[W - 3].set(end)
+    pos_u = pos_u.at[W - 3].set(end)
+
+    vel_l = qp.vel_l.at[: W - 3].set(_masked(vl, qp.vel_l[: W - 3]))
+    vel_u = qp.vel_u.at[: W - 3].set(_masked(vu, qp.vel_u[: W - 3]))
+    vel_l = vel_l.at[W - 3].set(0.0)
+    vel_u = vel_u.at[W - 3].set(0.0)
+
+    acc_l = qp.acc_l.at[: W - 3].set(_masked(al, qp.acc_l[: W - 3]))
+    acc_u = qp.acc_u.at[: W - 3].set(_masked(au, qp.acc_u[: W - 3]))
+    acc_l = acc_l.at[W - 3].set(0.0)
+    acc_u = acc_u.at[W - 3].set(0.0)
+
+    return qp.replace(
+        pos_coef=pos_coef, vel_coef=vel_coef,
+        pos_l=pos_l, pos_u=pos_u, vel_l=vel_l, vel_u=vel_u, acc_l=acc_l, acc_u=acc_u
+    )
+
+
+def linearize_workspace(
+    qp: TrajectoryQP,
+    balls,
+    obstacles,
+    con_3d,
+    trajectory,
+) -> TrajectoryQP:
+    """SCP linearization of workspace + obstacle constraints — the jitted
+    equivalent of ``withObstacles`` (``constraint-builder.h:90-122``) plus the
+    value-only ``QPSolver::update`` (``osqp-wrapper.h:33-43``): FK and
+    Jacobians are evaluated batched over waypoints with ``vmap``, and only
+    *values* of fixed-shape arrays change (never shapes — the static-shape
+    discipline the reference approximated with dummy rows).
+
+    ``balls``: static sequence of :class:`~osqp_solver_tpu.models.robot.RobotBall`
+    with jnp-traceable ``fk``/``jacobian``.  ``obstacles``: sequence of
+    :class:`~osqp_solver_tpu.gomp.geometry.HorizontalLine` (length must equal
+    ``qp.n_obstacles``).  ``con_3d``: ``(lower, upper)`` pair of 3-vectors.
+    Only the position half of ``trajectory`` is read (``tests/test.cpp:403-448``).
+    """
+    W, N = qp.waypoints, qp.n_dim
+    dt_ = qp.ws_l.dtype
+    q_traj = jnp.asarray(trajectory, dt_)[: W * N].reshape(W, N)
+    c3l = jnp.asarray(con_3d[0], dt_)
+    c3u = jnp.asarray(con_3d[1], dt_)
+
+    ws_jac, ws_l, ws_u = qp.ws_jac, qp.ws_l, qp.ws_u
+    obs_jac, obs_l, obs_u = qp.obs_jac, qp.obs_l, qp.obs_u
+
+    for b, ball in enumerate(balls):
+        points = jax.vmap(lambda s: jnp.asarray(ball.fk(s), dt_))(q_traj)  # (W,3)
+        jac = jax.vmap(lambda s: jnp.asarray(ball.jacobian(s), dt_))(q_traj)
+        jq = jnp.einsum("wan,wn->wa", jac, q_traj)  # (W,3) J·q₀ per axis
+        r = ball.radius
+
+        if ball.is_gripper:
+            # constraint-builder.h:221-244 per-axis Taylor bounds ± radius.
+            low = jnp.where(
+                jnp.abs(c3l)[None, :] >= INF_THRESHOLD,
+                -INF,
+                c3l[None, :] - points + jq,
+            )
+            upp = jnp.where(
+                jnp.abs(c3u)[None, :] >= INF_THRESHOLD,
+                INF,
+                c3u[None, :] - points + jq,
+            )
+            ws_jac = ws_jac.at[b].set(jac)
+            ws_l = ws_l.at[b].set(low + r)
+            ws_u = ws_u.at[b].set(upp - r)
+
+        for o, line in enumerate(obstacles):
+            # constraint-builder.h:246-267 Z-row; dummy (±INF) when no
+            # collision (:108-117) — same coefficients either way.
+            coll = line.has_collision(points, r)  # (W,)
+            bound = line.closest_point(points)[..., 2] - points[..., 2] + jq[..., 2]
+            below = line.bypass_below > 0
+            low = jnp.where(coll & ~below, bound, -INF)
+            upp = jnp.where(coll & below, bound, INF)
+            obs_jac = obs_jac.at[b, o].set(jac[:, 2, :])
+            obs_l = obs_l.at[b, o].set(low + r)
+            obs_u = obs_u.at[b, o].set(upp - r)
+
+    return qp.replace(
+        ws_jac=ws_jac, ws_l=ws_l, ws_u=ws_u,
+        obs_jac=obs_jac, obs_l=obs_l, obs_u=obs_u,
+    )

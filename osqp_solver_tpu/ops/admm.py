@@ -193,8 +193,11 @@ def _termination(base, scaled, scaling: Scaling, st: ADMMState, settings: Settin
         jnp.all(jnp.where(loose_u, dy_pos <= eps_p, True))
         & jnp.all(jnp.where(loose_l, -dy_neg <= eps_p, True))
     ) if m else jnp.array(False)
+    # OSQP guards the certificate with an *absolute* δy-magnitude threshold
+    # (is_primal_infeasible): near convergence δy is numerical noise that can
+    # wander in null(Aᵀ) and must not trigger a spurious certificate.
     prim_inf = (
-        (norm_dy > DIV_TOL)
+        (norm_dy > settings.eps_prim_inf)
         & (_inf_norm(At_dy) <= eps_p)
         & (support <= -eps_p)
         & inf_dir_ok
@@ -208,7 +211,7 @@ def _termination(base, scaled, scaling: Scaling, st: ADMMState, settings: Settin
         jnp.all(loose_u | (A_dx <= eps_d)) & jnp.all(loose_l | (A_dx >= -eps_d))
     ) if m else jnp.array(True)
     dual_inf = (
-        (norm_dx > DIV_TOL)
+        (norm_dx > settings.eps_dual_inf)
         & (_inf_norm(P_dx) <= eps_d)
         & (jnp.dot(base.q, dx_u) <= -eps_d)
         & cone_ok
