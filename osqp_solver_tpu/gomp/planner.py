@@ -1,0 +1,234 @@
+"""GOMP planner: SCP loop + time-scaling horizon shrinking.
+
+TPU-native re-design of ``GOMPSolver`` (``/root/reference/src/gomp-solver.h``,
+203 LoC).  Orchestration stays on the host (horizon lengths change shapes per
+segment — SURVEY.md §3.1), but every step of the hot path is one jitted
+device program per horizon length:
+
+    solve (warm-started ADMM) → exact-FK feasibility check →
+    SCP re-linearization → values-only session update
+
+The device programs are cached per horizon length; the batched planner
+(:meth:`GOMPSolver.run_batch`) vmaps the same programs over many
+(start, end) queries at a fixed horizon.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.robot import RobotBall
+from ..ops import session as ops_session
+from ..ops.admm import Settings
+from ..ops.status import ExitCode
+from .constraints import Constraint, scaled
+from .geometry import ERROR, HorizontalLine
+from .trajectory import calc_warm_start_jnp
+from .trajectory_qp import (
+    empty_trajectory_qp,
+    linearize_workspace,
+    with_gomp_boxes,
+)
+
+MAX_ITERATIONS = 100  # SCP re-linearization cap (gomp-solver.h:10)
+SEGMENTS = 10  # time-scaling steps (gomp-solver.h:11)
+
+
+class SegmentStats(NamedTuple):
+    waypoints: int
+    scp_iterations: int
+    admm_iterations: int
+    status: int
+
+
+class PlanResult(NamedTuple):
+    status: ExitCode
+    trajectory: np.ndarray  # (2*W*N,) positions then velocities (unscaled)
+    stats: List[SegmentStats]
+
+
+class GOMPSolver:
+    """Mirror of ``GOMPSolver<N_DIM>`` (``gomp-solver.h:14-91``).
+
+    ``vel_con``/``acc_con`` are pre-scaled by ``dt`` and ``dt²`` at
+    construction (``gomp-solver.h:29-30``) so dynamics rows stay
+    unit-coefficient; the returned trajectory's velocity half is divided by
+    ``dt`` (``gomp-solver.h:53``).
+    """
+
+    def __init__(
+        self,
+        max_waypoints: int,
+        time_step: float,
+        pos_con: Constraint,
+        vel_con: Constraint,
+        acc_con: Constraint,
+        con_3d: Constraint,
+        obstacles: Sequence[HorizontalLine],
+        balls: Sequence[RobotBall],
+        gripper_ik=None,  # stored-but-unused in the reference (gomp-solver.h:34,103)
+        settings: Settings = Settings(),
+        max_scp_iterations: int = MAX_ITERATIONS,
+        segments: int = SEGMENTS,
+        dtype=jnp.float64,
+    ):
+        assert max_waypoints >= 4  # gomp-solver.h:35
+        self.max_waypoints = int(max_waypoints)
+        self.time_step = float(time_step)
+        self.n_dim = pos_con.n
+        self.pos_con = pos_con
+        self.vel_con = scaled(vel_con, self.time_step)
+        self.acc_con = scaled(acc_con, self.time_step**2)
+        self.con_3d = con_3d
+        self.obstacles = list(obstacles)
+        self.balls = tuple(balls)
+        self.gripper_ik = gripper_ik
+        self.settings = settings
+        self.max_scp_iterations = int(max_scp_iterations)
+        self.segments = int(segments)
+        self.dtype = dtype
+        self._compiled: Dict[int, Tuple] = {}
+
+    # ------------------------------------------------------------------ jit
+
+    def _programs(self, waypoints: int):
+        """Build (setup_fn, step_fn) jitted for this horizon length."""
+        if waypoints in self._compiled:
+            return self._compiled[waypoints]
+        W, N = waypoints, self.n_dim
+        balls, obstacles, con3d = self.balls, self.obstacles, (
+            jnp.asarray(self.con_3d.lower, self.dtype),
+            jnp.asarray(self.con_3d.upper, self.dtype),
+        )
+        settings = self.settings
+
+        def build_qp(start, end, warm):
+            qp = empty_trajectory_qp(
+                W, N, [b.is_gripper for b in balls], len(obstacles), self.dtype
+            )
+            qp = with_gomp_boxes(
+                qp,
+                start,
+                end,
+                (jnp.asarray(self.pos_con.lower, self.dtype), jnp.asarray(self.pos_con.upper, self.dtype)),
+                (jnp.asarray(self.vel_con.lower, self.dtype), jnp.asarray(self.vel_con.upper, self.dtype)),
+                (jnp.asarray(self.acc_con.lower, self.dtype), jnp.asarray(self.acc_con.upper, self.dtype)),
+            )
+            return linearize_workspace(qp, balls, obstacles, con3d, warm)
+
+        def is_solution_ok(x):
+            """Exact nonlinear-FK feasibility (``gomp-solver.h:141-199``):
+            gripper within the 3-D box ± radius ± ERROR; all balls clear of
+            every obstacle wherever a collision is flagged."""
+            q = x[: W * N].reshape(W, N)
+            ok = jnp.array(True)
+            for ball in balls:
+                pts = jax.vmap(lambda s: jnp.asarray(ball.fk(s), self.dtype))(q)
+                r = ball.radius
+                if ball.is_gripper:
+                    low = con3d[0][None, :]
+                    upp = con3d[1][None, :]
+                    ok &= jnp.all(low - ERROR <= pts - r)
+                    ok &= jnp.all(pts + r <= upp + ERROR)
+                for line in obstacles:
+                    coll = line.has_collision(pts, r)
+                    above = line.is_above(pts, r)
+                    ok &= jnp.all(~coll | above)
+            return ok
+
+        @jax.jit
+        def setup_fn(start, end, warm):
+            qp = build_qp(start, end, warm)
+            return ops_session.setup(qp, settings, warm_x=warm)
+
+        @jax.jit
+        def step_fn(sess):
+            sess, res = ops_session.solve(sess, settings)
+            ok = is_solution_ok(res.x)
+            new_qp = linearize_workspace(
+                sess.base, balls, obstacles, con3d, res.x
+            )
+            sess = ops_session.update(sess, new_qp)
+            return sess, res.x, res.status, ok, res.iterations
+
+        self._compiled[waypoints] = (setup_fn, step_fn)
+        return self._compiled[waypoints]
+
+    # ---------------------------------------------------------------- inner
+
+    def run_horizon(
+        self, start, end, waypoints: int, warm_start
+    ) -> Tuple[ExitCode, jnp.ndarray, SegmentStats]:
+        """One fixed-horizon SCP solve (``gomp-solver.h:57-91``): solve, check
+        exact-FK feasibility, re-linearize + update, repeat ≤ 100×."""
+        assert waypoints >= 4
+        setup_fn, step_fn = self._programs(waypoints)
+        start = jnp.asarray(start, self.dtype)
+        end = jnp.asarray(end, self.dtype)
+        warm = jnp.asarray(warm_start, self.dtype)
+        sess = setup_fn(start, end, warm)
+
+        last_solution = warm
+        total_admm = 0
+        for i in range(self.max_scp_iterations):
+            sess, x, status, ok, iters = step_fn(sess)
+            status = int(status)
+            total_admm += int(iters)
+            last_solution = x
+            if status not in (int(ExitCode.kOptimal), int(ExitCode.kOptimalInaccurate)):
+                # No solution at this horizon (gomp-solver.h:72-76).
+                return (
+                    ExitCode.kUnknown,
+                    last_solution,
+                    SegmentStats(waypoints, i + 1, total_admm, status),
+                )
+            if bool(ok):
+                return (
+                    ExitCode.kOptimal,
+                    last_solution,
+                    SegmentStats(waypoints, i + 1, total_admm, status),
+                )
+        return (
+            ExitCode.kUnknown,
+            last_solution,
+            SegmentStats(waypoints, self.max_scp_iterations, total_admm, -1),
+        )
+
+    # ---------------------------------------------------------------- outer
+
+    def run(self, start_pos, end_pos) -> PlanResult:
+        """Time-scaling outer loop (``gomp-solver.h:38-55``): shrink the
+        horizon ``segments → 1``, warm-starting each segment from the
+        previous solution; keep the shortest feasible trajectory."""
+        N = self.n_dim
+        start = jnp.asarray(start_pos, self.dtype)
+        end = jnp.asarray(end_pos, self.dtype)
+        last_solution = calc_warm_start_jnp(start, end, self.max_waypoints)
+        last_code = ExitCode.kUnknown
+        stats: List[SegmentStats] = []
+
+        for i in range(self.segments, 0, -1):
+            waypoints = self.max_waypoints * i // self.segments
+            if waypoints < 4:
+                break
+            # Reference warm-start slicing (gomp-solver.h:43-44): the first
+            # two wN-slices of the previous solution — when the previous
+            # horizon was longer, the "velocity" half is actually leftover
+            # positions.  Quirk replicated deliberately.
+            wn = waypoints * N
+            warm = jnp.concatenate([last_solution[:wn], last_solution[wn : 2 * wn]])
+            code, solution, seg_stats = self.run_horizon(start, end, waypoints, warm)
+            stats.append(seg_stats)
+            if code not in (ExitCode.kOptimal, ExitCode.kUnknown):
+                break
+            if code == ExitCode.kOptimal:
+                last_code = ExitCode.kOptimal
+                last_solution = solution
+
+        sol = np.asarray(last_solution).copy()
+        half = sol.size // 2
+        sol[half:] /= self.time_step  # unscale velocities (gomp-solver.h:53)
+        return PlanResult(status=last_code, trajectory=sol, stats=stats)

@@ -1,0 +1,143 @@
+"""GOMP planner end-to-end tests (SCP + horizon shrinking).
+
+The reference has no planner tests (its example binary is the de-facto
+integration test, SURVEY.md §4); these cover the planner semantics with
+controlled kinematics and small UR5e problems.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osqp_solver_tpu import RobotBall, constraints as C
+from osqp_solver_tpu.gomp.geometry import HorizontalLine
+from osqp_solver_tpu.gomp.planner import GOMPSolver
+from osqp_solver_tpu.models import ur5e
+from osqp_solver_tpu.ops.status import ExitCode
+
+N = 3
+
+
+def identity_ball(radius=0.05, gripper=True):
+    return RobotBall(
+        fk=lambda s: s,
+        jacobian=lambda s: jnp.eye(3, dtype=s.dtype),
+        radius=radius,
+        is_gripper=gripper,
+    )
+
+
+def make_solver(obstacles=(), waypoints=12, con3d=None, **kw):
+    return GOMPSolver(
+        max_waypoints=waypoints,
+        time_step=0.1,
+        pos_con=C.in_range(N, -10, 10),
+        vel_con=C.in_range(N, -20, 20),
+        acc_con=C.in_range(N, -40, 40),
+        con_3d=con3d or C.in_range(3, -10, 10),
+        obstacles=list(obstacles),
+        balls=[identity_ball()],
+        **kw,
+    )
+
+
+def test_straight_line_no_obstacles():
+    solver = make_solver()
+    start = np.zeros(N)
+    end = np.array([1.0, 0.5, -0.25])
+    res = solver.run(start, end)
+    assert res.status == ExitCode.kOptimal
+    W = res.trajectory.size // (2 * N)
+    q = res.trajectory[: W * N].reshape(W, N)
+    np.testing.assert_allclose(q[0], start, atol=1e-2)
+    # end pinned at waypoint W-3 (the reference quirk, gomp-solver.h:133)
+    np.testing.assert_allclose(q[W - 3], end, atol=1e-2)
+    # dynamics hold: v_t = (q_{t+1} - q_t), unscaled by dt
+    v = res.trajectory[W * N :].reshape(W, N)
+    dq = (q[1:] - q[:-1]) / solver.time_step
+    np.testing.assert_allclose(v[:-1], dq, atol=0.2)
+    # horizon shrinking happened: the returned trajectory is the shortest
+    # feasible one (W < max_waypoints).
+    assert W <= solver.max_waypoints
+    assert len(res.stats) >= 1
+
+
+def test_obstacle_avoidance_scp_converges():
+    """SCP loop must converge to a trajectory that clears the line obstacle
+    under the exact (identity) FK check."""
+    line = HorizontalLine.create([1.0, 0.0], [0.0, 0.0, 0.5], False)
+    solver = make_solver(obstacles=[line], waypoints=10)
+    start = np.array([0.0, 1.0, 0.2])
+    end = np.array([0.5, -1.0, 0.2])
+    res = solver.run(start, end)
+    assert res.status == ExitCode.kOptimal
+    W = res.trajectory.size // (2 * N)
+    q = jnp.asarray(res.trajectory[: W * N].reshape(W, N))
+    coll = np.asarray(line.has_collision(q, 0.05))
+    above = np.asarray(line.is_above(q, 0.05))
+    assert np.all(~coll | above)
+
+
+def test_infeasible_horizon_falls_back():
+    """With a workspace box the exact check can never accept, the planner
+    should return kUnknown and the warm-start trajectory (graceful
+    degradation, gomp-solver.h:46-51)."""
+    # Gripper must stay inside a box that excludes the pinned start point.
+    solver = make_solver(con3d=C.in_range(3, 5.0, 6.0), waypoints=8)
+    res = solver.run(np.zeros(N), np.ones(N))
+    assert res.status == ExitCode.kUnknown
+
+
+def test_ur5e_small_plan():
+    """Small UR5e plan (BASELINE config 3 shape): real kinematics, workspace
+    floor constraint, 2 balls like the example app (solver-example.cpp:37-41)."""
+    balls = [
+        RobotBall(
+            fk=ur5e.forward_kinematics_6_back,
+            jacobian=ur5e.joint_jacobian_6_back,
+            radius=0.15,
+            is_gripper=False,
+        ),
+        RobotBall(
+            fk=ur5e.forward_kinematics,
+            jacobian=ur5e.joint_jacobian,
+            radius=0.05,
+            is_gripper=True,
+        ),
+    ]
+    solver = GOMPSolver(
+        max_waypoints=22,
+        time_step=0.1,
+        pos_con=C.in_range(6, -2 * np.pi, 2 * np.pi),
+        vel_con=C.in_range(6, -np.pi, np.pi),
+        acc_con=C.in_range(6, -np.pi * 800 / 180, np.pi * 800 / 180),
+        con_3d=C.in_range(3, [-C.INF, -0.4, -C.INF], None),
+        obstacles=[],
+        balls=balls,
+        segments=2,
+    )
+    # The example's base sweep 0 → π (solver-example.cpp:70): the naive path
+    # dips the gripper to y ≈ -0.82; SCP must bend joints to hold y >= -0.4.
+    start = np.zeros(6)
+    end = np.array([np.pi, 0.0, 0.0, 0.0, 0.0, 0.0])
+    res = solver.run(start, end)
+    assert res.status == ExitCode.kOptimal
+    W = res.trajectory.size // 12
+    q = res.trajectory[: W * 6].reshape(W, 6)
+    np.testing.assert_allclose(q[0], start, atol=1e-2)
+    np.testing.assert_allclose(q[W - 3], end, atol=1e-2)
+    # Workspace floor: gripper y >= -0.4 (± radius/ERROR slack) via exact FK.
+    pts = np.stack([np.asarray(ur5e.forward_kinematics(jnp.asarray(qi))) for qi in q])
+    assert np.all(pts[:, 1] + 0.05 >= -0.4 - 2e-3)
+
+
+def test_run_horizon_public():
+    """The fixed-horizon entry point (public in the reference,
+    gomp-solver.h:57) works standalone with a caller-provided warm start."""
+    solver = make_solver(waypoints=8)
+    from osqp_solver_tpu.gomp.trajectory import calc_warm_start
+
+    warm = calc_warm_start(np.zeros(N), np.ones(N), 8)
+    code, sol, stats = solver.run_horizon(np.zeros(N), np.ones(N), 8, warm)
+    assert code == ExitCode.kOptimal
+    assert sol.shape == (2 * 8 * N,)
+    assert stats.scp_iterations >= 1

@@ -1,0 +1,72 @@
+"""Schur-complement horizon-partitioned solve tests.
+
+Validates the distributed block-tridiagonal solve (SURVEY.md §5
+"long-context / sequence parallelism") against the sequential scan solver,
+both the single-device reference math and the real shard_map version on the
+8-device CPU mesh.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osqp_solver_tpu.ops.tridiag import (
+    block_tridiag_factor,
+    block_tridiag_solve,
+)
+from osqp_solver_tpu.parallel.mesh import HORIZON_AXIS, make_mesh
+from osqp_solver_tpu.parallel.schur import (
+    merge_solution,
+    partition_blocks,
+    partition_rhs,
+    schur_solve_reference,
+    schur_solve_sharded,
+)
+
+from test_tridiag import random_spd_tridiag
+
+
+def _sequential(diag, lower, b):
+    return block_tridiag_solve(block_tridiag_factor(diag, lower), b)
+
+
+def test_partition_round_trip():
+    W, B, K = 23, 4, 4
+    diag, lower = random_spd_tridiag(jax.random.PRNGKey(0), W, B)
+    b = jax.random.normal(jax.random.PRNGKey(1), (W, B), jnp.float64)
+    ch = partition_blocks(diag, lower, K)
+    bi, bs = partition_rhs(b, K)
+    merged = merge_solution(bi, bs[: K - 1], W)
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(b))
+
+
+@pytest.mark.parametrize("W,K", [(11, 2), (23, 4), (40, 8), (31, 3)])
+def test_reference_matches_sequential(W, K):
+    B = 4
+    diag, lower = random_spd_tridiag(jax.random.PRNGKey(W), W, B)
+    b = jax.random.normal(jax.random.PRNGKey(W + 1), (W, B), jnp.float64)
+    x_seq = np.asarray(_sequential(diag, lower, b))
+    x_schur = np.asarray(schur_solve_reference(diag, lower, b, K))
+    np.testing.assert_allclose(x_schur, x_seq, rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_matches_sequential():
+    """Real shard_map over the horizon axis of an 8-device CPU mesh."""
+    W, B = 63, 4
+    mesh = make_mesh(batch=1, horizon=8)
+    diag, lower = random_spd_tridiag(jax.random.PRNGKey(3), W, B)
+    b = jax.random.normal(jax.random.PRNGKey(4), (W, B), jnp.float64)
+    x_seq = np.asarray(_sequential(diag, lower, b))
+    x_shard = np.asarray(schur_solve_sharded(diag, lower, b, mesh))
+    np.testing.assert_allclose(x_shard, x_seq, rtol=1e-8, atol=1e-10)
+
+
+def test_sharded_long_horizon_kkt_like():
+    """A GOMP-like KKT (12×12 blocks, 200 waypoints) split over 8 devices."""
+    W, B = 200, 12
+    mesh = make_mesh(batch=1, horizon=8)
+    diag, lower = random_spd_tridiag(jax.random.PRNGKey(9), W, B)
+    b = jax.random.normal(jax.random.PRNGKey(10), (W, B), jnp.float64)
+    x_seq = np.asarray(_sequential(diag, lower, b))
+    x_shard = np.asarray(schur_solve_sharded(diag, lower, b, mesh))
+    np.testing.assert_allclose(x_shard, x_seq, rtol=1e-7, atol=1e-9)
