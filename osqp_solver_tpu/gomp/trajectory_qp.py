@@ -248,7 +248,8 @@ class TrajectoryQP:
         qm = jnp.abs(self.pos_coef)
         qm = jnp.maximum(qm, jnp.pad(c[..., 2], ((0, 1), (0, 0))))
         qm = jnp.maximum(qm, jnp.pad(c[..., 1], ((1, 0), (0, 0))))
-        qm = jnp.maximum(qm, jnp.max(jnp.abs(self.ws_jac), axis=(0, 2)))
+        if self.n_balls:
+            qm = jnp.maximum(qm, jnp.max(jnp.abs(self.ws_jac), axis=(0, 2)))
         if self.n_obstacles and self.n_balls:
             qm = jnp.maximum(qm, jnp.max(jnp.abs(self.obs_jac), axis=(0, 1)))
         vm = jnp.pad(jnp.maximum(jnp.abs(self.vel_coef), c[..., 0]), ((0, 1), (0, 0)))
