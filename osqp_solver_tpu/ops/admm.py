@@ -277,6 +277,8 @@ def init_state(
     warm_x: Optional[jnp.ndarray] = None,
     warm_y: Optional[jnp.ndarray] = None,
     scaling: Optional[Scaling] = None,
+    rho_bar: Optional[jnp.ndarray] = None,
+    factor=None,
 ) -> ADMMState:
     """Cold (x=z=y=0) or warm-started scaled state + initial KKT factor.
 
@@ -300,9 +302,14 @@ def init_state(
     else:
         y = scaling.c * scaling.Einv * jnp.asarray(warm_y, dtype)
 
-    rho_bar = jnp.asarray(settings.rho, dtype)
+    if rho_bar is None:
+        rho_bar = jnp.asarray(settings.rho, dtype)
     rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
-    factor = scaled.kkt_factor(rho_vec, settings.sigma)
+    if factor is None:
+        # Mirrors OSQP's setup-time KKT factorization; pass a cached factor
+        # to reuse it across MPC re-solves (osqp-wrapper.h:33-43 semantics:
+        # bounds-only updates do not refactorize).
+        factor = scaled.kkt_factor(rho_vec, settings.sigma)
     return ADMMState(
         x=x,
         z=z,

@@ -36,6 +36,8 @@ class Session:
     scaling: Scaling
     warm_x: jnp.ndarray  # unscaled primal warm start for the next solve
     warm_y: jnp.ndarray  # unscaled dual warm start
+    rho_bar: jnp.ndarray  # carried ρ (adapted across solves, like OSQP)
+    factor: object  # cached KKT factor for (scaled, rho_bar)
 
 
 def setup(
@@ -44,46 +46,107 @@ def setup(
     warm_x: Optional[jnp.ndarray] = None,
     warm_y: Optional[jnp.ndarray] = None,
 ) -> Session:
-    """Equilibrate and create a session (mirror of ``OsqpSolver::Init`` +
-    ``SetPrimalWarmStart``, ``osqp-wrapper.h:28,45-49``)."""
+    """Equilibrate, factor, and create a session (mirror of
+    ``OsqpSolver::Init`` + ``SetPrimalWarmStart``, ``osqp-wrapper.h:28,45-49``)."""
     n, m = qp.q.shape[-1], qp.l.shape[-1]
     dtype = qp.q.dtype
     if settings.scaling > 0:
         scaled, scaling = ruiz_equilibrate(qp, settings.scaling)
     else:
         scaled, scaling = qp, identity_scaling(n, m, dtype)
+    rho_bar = jnp.asarray(settings.rho, dtype)
+    factor = scaled.kkt_factor(
+        admm._rho_vec(rho_bar, scaled.l, scaled.u), settings.sigma
+    )
     return Session(
         base=qp,
         scaled=scaled,
         scaling=scaling,
         warm_x=jnp.zeros(n, dtype) if warm_x is None else jnp.asarray(warm_x, dtype),
         warm_y=jnp.zeros(m, dtype) if warm_y is None else jnp.asarray(warm_y, dtype),
+        rho_bar=rho_bar,
+        factor=factor,
     )
 
 
-def update(session: Session, new_qp) -> Session:
+def update(
+    session: Session,
+    new_qp,
+    refactor: bool = True,
+    settings: Settings = Settings(),
+) -> Session:
     """Values-only problem update with frozen scaling (OSQP
     ``osqp_update_A``/``osqp_update_bounds`` semantics; shapes must be
-    unchanged — which the static containers guarantee by construction)."""
+    unchanged — which the static containers guarantee by construction).
+
+    ``refactor=False`` keeps the cached KKT factor — valid when only
+    bounds/q changed (A and P values untouched), the MPC fast path
+    (BASELINE config 4).
+    """
     s = session.scaling
-    return session.replace(
-        base=new_qp, scaled=new_qp.scale_data(s.D, s.E, s.c)
-    )
+    scaled = new_qp.scale_data(s.D, s.E, s.c)
+    session = session.replace(base=new_qp, scaled=scaled)
+    if refactor:
+        factor = scaled.kkt_factor(
+            admm._rho_vec(session.rho_bar, scaled.l, scaled.u), settings.sigma
+        )
+        session = session.replace(factor=factor)
+    return session
+
+
+def update_bounds(session: Session, **bound_fields) -> Session:
+    """Bounds/q-only update (``SetBounds``, ``osqp-wrapper.h:39-41``): new
+    field values on the base QP, factor kept.
+
+    Correctness requires the constraint classification (equality / loose)
+    not to change — ρ_vec is derived from the bounds and must match the
+    cached factor (OSQP refactorizes when a bounds update flips a row's
+    type; use :func:`update` with ``refactor=True`` in that case)."""
+    return update(session, session.base.replace(**bound_fields), refactor=False)
 
 
 def solve(
     session: Session, settings: Settings = Settings()
 ) -> Tuple[Session, SolveResult]:
-    """Solve warm-started from the session's carried iterates; returns the
-    updated session (iterates advanced — OSQP's cross-``Solve()`` warm
-    starting) and the result."""
+    """Solve warm-started from the session's carried iterates and cached
+    factor; returns the updated session (iterates + adapted ρ + factor
+    advanced — OSQP's cross-``Solve()`` warm starting) and the result."""
     st = admm.init_state(
         session.scaled,
         settings,
         warm_x=session.warm_x,
         warm_y=session.warm_y,
         scaling=session.scaling,
+        rho_bar=session.rho_bar,
+        factor=session.factor,
     )
     st = admm.run_admm(session.base, session.scaled, session.scaling, st, settings)
     result = admm.finalize(session.base, session.scaling, st)
-    return session.replace(warm_x=result.x, warm_y=result.y), result
+    return (
+        session.replace(
+            warm_x=result.x, warm_y=result.y, rho_bar=st.rho_bar, factor=st.factor
+        ),
+        result,
+    )
+
+
+def mpc_scan(session: Session, updates, apply_update, settings: Settings = Settings()):
+    """MPC sweep: ``lax.scan`` over parameter updates with on-device carried
+    state (warm starts + cached factor) — the TPU-native replacement for the
+    reference's sequential warm-started re-solves (``gomp-solver.h:41-52,65``;
+    BASELINE config 4).
+
+    ``apply_update(base_qp, upd) -> new_qp`` must change only bounds or ``q``
+    (A/P coefficients untouched) so the cached factor stays valid; use
+    :func:`update` with ``refactor=True`` between scans when coefficients
+    change.
+    """
+    import jax
+
+    def step(sess, upd):
+        new_qp = apply_update(sess.base, upd)
+        sess = update(sess, new_qp, refactor=False)
+        sess, res = solve(sess, settings)
+        return sess, (res.x, res.status, res.iterations)
+
+    return jax.lax.scan(step, session, updates)
