@@ -1,0 +1,216 @@
+"""Benchmark suite: the five BASELINE.json configs.
+
+Prints one JSON line per config to stdout (diagnostics to stderr):
+
+1. single small trajectory QP (examples/solver-example.cpp shape, CPU-class)
+2. 1k randomized box QPs, vmapped ADMM, single chip
+3. GOMP-style 100-waypoint 6-DOF trajectory QP with workspace rows
+4. MPC warm-start sweep (sequential re-solves, cached factorization)
+5. long-horizon block-tridiagonal KKT solve partitioned over the mesh
+   (Schur complement; on a single chip this exercises the reference math —
+   multi-chip scaling runs on a real slice)
+
+Usage: python benchmarks/run_all.py [--quick]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def emit(name, value, unit, extra=None):
+    rec = {"metric": name, "value": round(float(value), 3), "unit": unit}
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def build_trajectory_batch(batch, W, N, dtype):
+    import jax
+    import jax.numpy as jnp
+
+    from osqp_solver_tpu.gomp.trajectory_qp import (
+        empty_trajectory_qp,
+        with_gomp_boxes,
+    )
+
+    base = empty_trajectory_qp(W, N, gripper_flags=(), n_obstacles=0, dtype=dtype)
+    pos = (jnp.full(N, -10.0, dtype), jnp.full(N, 10.0, dtype))
+    vel = (jnp.full(N, -1.0, dtype), jnp.full(N, 1.0, dtype))
+    acc = (jnp.full(N, -2.0, dtype), jnp.full(N, 2.0, dtype))
+
+    def one(i):
+        start = 0.02 * jnp.sin(jnp.arange(N, dtype=dtype) + i)
+        end = 1.0 + 0.02 * jnp.cos(jnp.arange(N, dtype=dtype) * 1.3 + i)
+        return with_gomp_boxes(base, start, end, pos, vel, acc)
+
+    return jax.vmap(one)(jnp.arange(batch, dtype=dtype))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from osqp_solver_tpu.ops import admm, session as S
+    from osqp_solver_tpu.ops.qp import dense_qp
+    from osqp_solver_tpu.ops.tridiag import (
+        block_tridiag_factor,
+        block_tridiag_solve,
+    )
+    from osqp_solver_tpu.parallel.schur import schur_solve_reference
+
+    dtype = jnp.float32
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+    settings = admm.Settings()
+    reps = 2 if args.quick else 5
+
+    # ---- config 1: single small trajectory QP -----------------------------
+    qp1 = jax.tree_util.tree_map(
+        lambda a: a[0], build_trajectory_batch(1, 10, 6, dtype)
+    )
+    f1 = jax.jit(lambda qp: admm.solve(qp, settings).x)
+    sync(f1(qp1))
+    t0 = time.time()
+    for _ in range(reps):
+        out = f1(qp1)
+    sync(out)
+    emit(
+        "config1_single_small_qp_latency",
+        (time.time() - t0) / reps * 1e3,
+        "ms/solve (W=10 trajectory QP, single problem)",
+    )
+
+    # ---- config 2: 1k random box QPs --------------------------------------
+    def rand_qp(key):
+        n, m = 64, 96
+        k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+        Mx = jax.random.normal(k1, (n, n), dtype)
+        P = Mx @ Mx.T / n + 0.1 * jnp.eye(n, dtype=dtype)
+        q = jax.random.normal(k2, (n,), dtype)
+        A = jax.random.normal(k3, (m, n), dtype)
+        x0 = jax.random.normal(k4, (n,), dtype)
+        margin = jnp.abs(jax.random.normal(k5, (m,), dtype)) + 0.1
+        Ax0 = A @ x0
+        return dense_qp(P, q, A, Ax0 - margin, Ax0 + margin)
+
+    B2 = 256 if args.quick else 1024
+    qps2 = jax.vmap(rand_qp)(jax.random.split(jax.random.PRNGKey(0), B2))
+    f2 = jax.jit(
+        lambda qps: jax.vmap(lambda qp: admm.solve(qp, settings))(qps)
+    )
+    r = f2(qps2)
+    n_opt = int(np.sum(np.asarray(r.status) == 0))
+    t0 = time.time()
+    for _ in range(reps):
+        r = f2(qps2)
+    sync(r.x)
+    dt = (time.time() - t0) / reps
+    emit(
+        "config2_random_box_qps_per_sec",
+        n_opt / dt,
+        f"QPs/s (n=64 m=96 dense, batch {B2}, {n_opt}/{B2} optimal)",
+    )
+
+    # ---- config 3: GOMP 100-waypoint trajectory batch ---------------------
+    B3 = 128 if args.quick else 256
+    qps3 = build_trajectory_batch(B3, 100, 6, dtype)
+    f3 = jax.jit(
+        lambda qps: jax.vmap(lambda qp: admm.solve(qp, settings))(qps)
+    )
+    r = f3(qps3)
+    n_opt3 = int(np.sum(np.asarray(r.status) == 0))
+    t0 = time.time()
+    for _ in range(reps):
+        r = f3(qps3)
+    sync(r.x)
+    dt = (time.time() - t0) / reps
+    emit(
+        "config3_gomp_100wp_qps_per_sec",
+        n_opt3 / dt,
+        f"QPs/s (100-waypoint 6-DOF banded, batch {B3}, {n_opt3}/{B3} optimal)",
+    )
+
+    # ---- config 4: MPC warm-start sweep -----------------------------------
+    n = 8
+    qp4 = dense_qp(
+        np.eye(n, dtype=np.float32),
+        np.zeros(n, np.float32),
+        np.eye(n, dtype=np.float32),
+        -np.ones(n, np.float32),
+        np.ones(n, np.float32),
+    )
+    sess = S.setup(qp4, settings)
+    steps = 1000 if args.quick else 10000
+    shifts = jnp.linspace(0.0, 0.3, steps)[:, None] * jnp.ones(n, dtype)
+
+    def apply_update(base, s):
+        return base.replace(l=-1.0 + s, u=1.0 + s)
+
+    f4 = jax.jit(lambda se, u: S.mpc_scan(se, u, apply_update, settings))
+    _, (xs, st4, _) = f4(sess, shifts)
+    sync(xs)
+    t0 = time.time()
+    _, (xs, st4, it4) = f4(sess, shifts)
+    sync(xs)
+    dt = time.time() - t0
+    emit(
+        "config4_mpc_resolves_per_sec",
+        steps / dt,
+        f"re-solves/s ({steps} sequential bound updates, cached factor)",
+    )
+
+    # ---- config 5: long-horizon Schur KKT solve ---------------------------
+    W5 = 2000 if args.quick else 10000
+    Bb = 12
+    key = jax.random.PRNGKey(7)
+    blocks = jax.random.normal(key, (W5, Bb, Bb), dtype)
+    diag = jnp.einsum("tij,tkj->tik", blocks, blocks) + 5.0 * jnp.eye(Bb, dtype=dtype)
+    lower = 0.2 * jax.random.normal(jax.random.PRNGKey(8), (W5 - 1, Bb, Bb), dtype)
+    b5 = jax.random.normal(jax.random.PRNGKey(9), (W5, Bb), dtype)
+    K = 8
+    f5 = jax.jit(lambda d, l, b: schur_solve_reference(d, l, b, K))
+    f5_seq = jax.jit(
+        lambda d, l, b: block_tridiag_solve(block_tridiag_factor(d, l), b)
+    )
+    sync(f5(diag, lower, b5))
+    sync(f5_seq(diag, lower, b5))
+    t0 = time.time()
+    for _ in range(reps):
+        x5 = f5(diag, lower, b5)
+    sync(x5)
+    dt_schur = (time.time() - t0) / reps
+    t0 = time.time()
+    for _ in range(reps):
+        x5s = f5_seq(diag, lower, b5)
+    sync(x5s)
+    dt_seq = (time.time() - t0) / reps
+    emit(
+        "config5_schur_10k_horizon_ms",
+        dt_schur * 1e3,
+        f"ms/solve (W={W5} B={Bb} KKT, {K}-chunk Schur; sequential scan "
+        f"{dt_seq*1e3:.1f} ms)",
+        {"speedup_vs_sequential": round(dt_seq / dt_schur, 3)},
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,291 @@
+// Native C++ OSQP-semantics ADMM oracle (dense, float64).
+//
+// Role in the framework: the reference drives OSQP's C solver
+// (/root/reference/src/osqp-wrapper.h); OSQP itself is not vendorable here,
+// so this self-contained implementation of the same algorithm — reduced-KKT
+// ADMM with per-constraint rho, over-relaxation, residual termination at
+// OSQP-default tolerances — serves as (a) the ground-truth oracle the TPU
+// solver is cross-validated against in tests (tests/test_native_oracle.py),
+// and (b) the single-thread CPU wall-clock anchor for BASELINE comparisons.
+//
+// Deliberately no external dependencies (no Eigen/OSQP): plain C++17,
+// row-major dense storage, hand-written Cholesky. Scaling (Ruiz) is omitted;
+// compare against the JAX solver with Settings(scaling=0), or rely on both
+// meeting the same unscaled residual tolerances.
+//
+// Build:  g++ -O2 -shared -fPIC -o libosqp_oracle.so osqp_oracle.cpp
+// ABI:    extern "C" osqp_oracle_solve(...) -> status int matching
+//         osqp_solver_tpu.ops.status.ExitCode values.
+
+#include <cmath>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr double kInf = 1e30;
+constexpr double kInfThresh = 1e25;
+constexpr double kRhoMin = 1e-6;
+constexpr double kRhoMax = 1e6;
+constexpr double kRhoEqFactor = 1e3;
+constexpr double kRhoTol = 1e-4;
+constexpr double kDivTol = 1e-10;
+
+enum Status {
+  kOptimal = 0,
+  kPrimalInfeasible = 1,
+  kDualInfeasible = 2,
+  kOptimalInaccurate = 3,
+  kMaxIterations = 6,
+  kNonConvex = 9,
+  kUnknown = 10,
+};
+
+// Dense lower-triangular Cholesky, row-major. Returns false if not SPD.
+bool cholesky(std::vector<double>& M, int n) {
+  for (int i = 0; i < n; ++i) {
+    for (int j = 0; j <= i; ++j) {
+      double s = M[i * n + j];
+      for (int k = 0; k < j; ++k) s -= M[i * n + k] * M[j * n + k];
+      if (i == j) {
+        if (s <= 0.0) return false;
+        M[i * n + i] = std::sqrt(s);
+      } else {
+        M[i * n + j] = s / M[j * n + j];
+      }
+    }
+    for (int j = i + 1; j < n; ++j) M[i * n + j] = 0.0;
+  }
+  return true;
+}
+
+void chol_solve(const std::vector<double>& L, std::vector<double>& b, int n) {
+  for (int i = 0; i < n; ++i) {
+    double s = b[i];
+    for (int k = 0; k < i; ++k) s -= L[i * n + k] * b[k];
+    b[i] = s / L[i * n + i];
+  }
+  for (int i = n - 1; i >= 0; --i) {
+    double s = b[i];
+    for (int k = i + 1; k < n; ++k) s -= L[k * n + i] * b[k];
+    b[i] = s / L[i * n + i];
+  }
+}
+
+double inf_norm(const double* v, int n) {
+  double m = 0.0;
+  for (int i = 0; i < n; ++i) m = std::max(m, std::fabs(v[i]));
+  return m;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Solve min 0.5 x'Px + q'x  s.t. l <= Ax <= u.  Row-major dense P (n*n),
+// A (m*n).  Outputs x (n), y (m). Returns Status.
+int osqp_oracle_solve(int n, int m, const double* P, const double* q,
+                      const double* A, const double* l, const double* u,
+                      double* x_out, double* y_out, int* iters_out,
+                      double* prim_res_out, double* dual_res_out,
+                      int max_iter, int check_every, double eps_abs,
+                      double eps_rel, double eps_prim_inf, double eps_dual_inf,
+                      double rho0, double sigma, double alpha,
+                      int adaptive_rho, const double* warm_x,
+                      const double* warm_y) {
+  std::vector<double> rho(m), x(n, 0.0), z(m, 0.0), y(m, 0.0);
+  std::vector<double> dx(n, 0.0), dy(m, 0.0);
+  double rho_bar = rho0;
+
+  auto rho_vec = [&](double rb) {
+    for (int i = 0; i < m; ++i) {
+      bool loose = l[i] <= -kInfThresh && u[i] >= kInfThresh;
+      bool eq = (u[i] - l[i]) < kRhoTol;
+      double r = eq ? kRhoEqFactor * rb : rb;
+      if (loose) r = kRhoMin;
+      rho[i] = std::min(std::max(r, kRhoMin), kRhoMax);
+    }
+  };
+
+  std::vector<double> K(n * n);
+  auto factor = [&]() -> bool {
+    for (int i = 0; i < n; ++i)
+      for (int j = 0; j < n; ++j) K[i * n + j] = P[i * n + j];
+    for (int i = 0; i < n; ++i) K[i * n + i] += sigma;
+    for (int r = 0; r < m; ++r)
+      for (int i = 0; i < n; ++i) {
+        double ari = A[r * n + i];
+        if (ari == 0.0) continue;
+        double w = rho[r] * ari;
+        for (int j = 0; j < n; ++j) K[i * n + j] += w * A[r * n + j];
+      }
+    return cholesky(K, n);
+  };
+
+  rho_vec(rho_bar);
+  if (!factor()) return kNonConvex;
+
+  if (warm_x) {
+    std::memcpy(x.data(), warm_x, n * sizeof(double));
+    for (int r = 0; r < m; ++r) {
+      double s = 0.0;
+      for (int j = 0; j < n; ++j) s += A[r * n + j] * x[j];
+      z[r] = s;
+    }
+  }
+  if (warm_y) std::memcpy(y.data(), warm_y, m * sizeof(double));
+
+  std::vector<double> rhs(n), xt(n), zt(m), Ax(m), Px(n), ATy(n);
+  int iter = 0;
+  int status = kUnknown;
+  double prim_res = 1e30, dual_res = 1e30;
+
+  while (iter < max_iter) {
+    for (int step = 0; step < check_every && iter < max_iter; ++step, ++iter) {
+      // rhs = sigma*x - q + A'(rho.*z - y)
+      for (int i = 0; i < n; ++i) rhs[i] = sigma * x[i] - q[i];
+      for (int r = 0; r < m; ++r) {
+        double w = rho[r] * z[r] - y[r];
+        if (w == 0.0) continue;
+        for (int j = 0; j < n; ++j) rhs[j] += A[r * n + j] * w;
+      }
+      xt = rhs;
+      chol_solve(K, xt, n);
+      for (int r = 0; r < m; ++r) {
+        double s = 0.0;
+        for (int j = 0; j < n; ++j) s += A[r * n + j] * xt[j];
+        zt[r] = s;
+      }
+      for (int i = 0; i < n; ++i) {
+        double xn = alpha * xt[i] + (1 - alpha) * x[i];
+        dx[i] = xn - x[i];
+        x[i] = xn;
+      }
+      for (int r = 0; r < m; ++r) {
+        double ztmp = alpha * zt[r] + (1 - alpha) * z[r];
+        double zn = ztmp + y[r] / rho[r];
+        zn = std::min(std::max(zn, l[r]), u[r]);
+        double yn = y[r] + rho[r] * (ztmp - zn);
+        dy[r] = yn - y[r];
+        y[r] = yn;
+        z[r] = zn;
+      }
+    }
+
+    // Residuals (unscaled problem; no Ruiz here).
+    double nAx = 0, nz = 0, nPx = 0, nATy = 0, nq = inf_norm(q, n);
+    prim_res = 0;
+    dual_res = 0;
+    for (int r = 0; r < m; ++r) {
+      double s = 0.0;
+      for (int j = 0; j < n; ++j) s += A[r * n + j] * x[j];
+      Ax[r] = s;
+      nAx = std::max(nAx, std::fabs(s));
+      nz = std::max(nz, std::fabs(z[r]));
+      prim_res = std::max(prim_res, std::fabs(s - z[r]));
+    }
+    for (int i = 0; i < n; ++i) {
+      double px = 0.0, aty = 0.0;
+      for (int j = 0; j < n; ++j) px += P[i * n + j] * x[j];
+      for (int r = 0; r < m; ++r) aty += A[r * n + i] * y[r];
+      Px[i] = px;
+      ATy[i] = aty;
+      nPx = std::max(nPx, std::fabs(px));
+      nATy = std::max(nATy, std::fabs(aty));
+      dual_res = std::max(dual_res, std::fabs(px + q[i] + aty));
+    }
+    double eps_prim = eps_abs + eps_rel * std::max(nAx, nz);
+    double eps_dual = eps_abs + eps_rel * std::max(std::max(nPx, nATy), nq);
+    if ((m == 0 || prim_res <= eps_prim) && dual_res <= eps_dual) {
+      status = kOptimal;
+      break;
+    }
+
+    // Infeasibility certificates.
+    double ndy = inf_norm(dy.data(), m);
+    if (ndy > eps_prim_inf) {
+      double nAtdy = 0, support = 0;
+      bool dir_ok = true;
+      for (int i = 0; i < n; ++i) {
+        double s = 0.0;
+        for (int r = 0; r < m; ++r) s += A[r * n + i] * dy[r];
+        nAtdy = std::max(nAtdy, std::fabs(s));
+      }
+      for (int r = 0; r < m; ++r) {
+        double dp = std::max(dy[r], 0.0), dn = std::min(dy[r], 0.0);
+        if (u[r] >= kInfThresh) {
+          if (dp > eps_prim_inf * ndy) dir_ok = false;
+        } else {
+          support += u[r] * dp;
+        }
+        if (l[r] <= -kInfThresh) {
+          if (-dn > eps_prim_inf * ndy) dir_ok = false;
+        } else {
+          support += l[r] * dn;
+        }
+      }
+      if (dir_ok && nAtdy <= eps_prim_inf * ndy &&
+          support <= -eps_prim_inf * ndy) {
+        status = kPrimalInfeasible;
+        break;
+      }
+    }
+    double ndx = inf_norm(dx.data(), n);
+    if (ndx > eps_dual_inf) {
+      double nPdx = 0, qdx = 0;
+      bool cone_ok = true;
+      for (int i = 0; i < n; ++i) {
+        double s = 0.0;
+        for (int j = 0; j < n; ++j) s += P[i * n + j] * dx[j];
+        nPdx = std::max(nPdx, std::fabs(s));
+        qdx += q[i] * dx[i];
+      }
+      for (int r = 0; r < m && cone_ok; ++r) {
+        double s = 0.0;
+        for (int j = 0; j < n; ++j) s += A[r * n + j] * dx[j];
+        if (u[r] < kInfThresh && s > eps_dual_inf * ndx) cone_ok = false;
+        if (l[r] > -kInfThresh && s < -eps_dual_inf * ndx) cone_ok = false;
+      }
+      if (cone_ok && nPdx <= eps_dual_inf * ndx && qdx <= -eps_dual_inf * ndx) {
+        status = kDualInfeasible;
+        break;
+      }
+    }
+
+    // Adaptive rho (interval = every termination check here).
+    if (adaptive_rho) {
+      double pr = prim_res / std::max(std::max(nAx, nz), kDivTol);
+      double dr =
+          dual_res / std::max(std::max(std::max(nPx, nATy), nq), kDivTol);
+      double nr = rho_bar * std::sqrt(pr / std::max(dr, kDivTol));
+      nr = std::min(std::max(nr, kRhoMin), kRhoMax);
+      if (nr > 5.0 * rho_bar || nr < rho_bar / 5.0) {
+        rho_bar = nr;
+        rho_vec(rho_bar);
+        if (!factor()) return kNonConvex;
+      }
+    }
+  }
+
+  if (status == kUnknown) {
+    status = kMaxIterations;
+    // OSQP "inaccurate" check at 10x tolerance.
+    double nAx = 0, nz = 0;
+    for (int r = 0; r < m; ++r) {
+      nAx = std::max(nAx, std::fabs(Ax[r]));
+      nz = std::max(nz, std::fabs(z[r]));
+    }
+    double eps_p10 = 10 * (eps_abs + eps_rel * std::max(nAx, nz));
+    if (prim_res <= eps_p10) status = kOptimalInaccurate;
+  }
+
+  std::memcpy(x_out, x.data(), n * sizeof(double));
+  std::memcpy(y_out, y.data(), m * sizeof(double));
+  *iters_out = iter;
+  *prim_res_out = prim_res;
+  *dual_res_out = dual_res;
+  return status;
+}
+
+}  // extern "C"
