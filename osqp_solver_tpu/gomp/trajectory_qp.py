@@ -374,7 +374,11 @@ class TrajectoryQP:
         return block_tridiag_factor(*self.kkt_blocks(rho_vec, sigma))
 
     def kkt_solve(self, factor, rhs):
-        s = block_tridiag_solve(factor, self._interleave(rhs))
+        # vmap-aware: batched callers hit the fused Pallas lane-major kernel
+        # on TPU (ops/pallas_tridiag.py), single problems the scan solver.
+        from ..ops.pallas_tridiag import tridiag_solve
+
+        s = tridiag_solve(factor.chol, factor.gain, self._interleave(rhs))
         return self._deinterleave(s)
 
     # --------------------------------------------------------------- dense

@@ -209,6 +209,14 @@ def solve_lane_major(chol, gain, rhs, interpret: bool | None = None):
     gain_full = jnp.concatenate(
         [gain, jnp.zeros((W - gain.shape[0], B2, B2, Bp), dtype)], axis=0
     )
+    # HBM DMA slices must be sublane-aligned (multiple of 8) along the
+    # second-to-last dim; pad the streamed factor blocks' column dim.
+    sub_pad = (-B2) % 8
+    if sub_pad:
+        padspec = [(0, 0), (0, 0), (0, sub_pad), (0, 0)]
+        chol = jnp.pad(chol, padspec)
+        gain_full = jnp.pad(gain_full, padspec)
+    B2p = B2 + sub_pad
 
     grid = (Bp // LANE_TILE,)
     out = pl.pallas_call(
@@ -229,8 +237,8 @@ def solve_lane_major(chol, gain, rhs, interpret: bool | None = None):
         ),
         out_shape=jax.ShapeDtypeStruct((W, B2, Bp), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, B2, B2, LANE_TILE), dtype),
-            pltpu.VMEM((2, B2, B2, LANE_TILE), dtype),
+            pltpu.VMEM((2, B2, B2p, LANE_TILE), dtype),
+            pltpu.VMEM((2, B2, B2p, LANE_TILE), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -246,3 +254,46 @@ def to_lane_major(batched_factor_or_rhs):
 
 def from_lane_major(arr):
     return jnp.moveaxis(arr, -1, 0)
+
+
+# ---------------------------------------------------------------------------
+# vmap-transparent entry point: single-problem callers get the scan solver;
+# vmapped batches on TPU dispatch to the Pallas kernel in lane-major layout.
+# ---------------------------------------------------------------------------
+
+from jax.custom_batching import custom_vmap  # noqa: E402
+
+from .tridiag import BlockTridiagFactor, block_tridiag_solve  # noqa: E402
+
+
+@custom_vmap
+def tridiag_solve(chol, gain, rhs):
+    """Solve ``M x = rhs`` given the block-Cholesky factor ``(chol, gain)``.
+
+    Semantically identical to
+    :func:`osqp_solver_tpu.ops.tridiag.block_tridiag_solve`; under ``vmap``
+    the whole batch is handed to :func:`solve_lane_major` so the ADMM
+    x̃-update runs as one fused kernel per 128-problem lane tile.
+    """
+    return block_tridiag_solve(BlockTridiagFactor(chol, gain), rhs)
+
+
+@tridiag_solve.def_vmap
+def _tridiag_solve_vmap(axis_size, in_batched, chol, gain, rhs):
+    cb, gb, rb = in_batched
+
+    def ensure(a, batched):
+        return a if batched else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+
+    chol = ensure(chol, cb)
+    gain = ensure(gain, gb)
+    rhs = ensure(rhs, rb)
+    if jax.default_backend() == "tpu":
+        out = solve_lane_major(
+            to_lane_major(chol), to_lane_major(gain), to_lane_major(rhs)
+        )
+        return from_lane_major(out), True
+    out = jax.vmap(
+        lambda c, g, r: block_tridiag_solve(BlockTridiagFactor(c, g), r)
+    )(chol, gain, rhs)
+    return out, True
