@@ -35,7 +35,7 @@ def main():
     log(f"device: {dev} platform={dev.platform}")
 
     dtype = jnp.float32
-    BATCH, W, N = 256, 100, 6
+    BATCH, W, N = 1024, 100, 6
     settings = admm.Settings()
 
     base = empty_trajectory_qp(W, N, gripper_flags=(), n_obstacles=0, dtype=dtype)
@@ -55,8 +55,14 @@ def main():
         res = jax.vmap(lambda qp: admm.solve(qp, settings))(qps)
         return res.x, res.status, res.iterations, res.prim_res, res.dual_res
 
+    # NOTE: synchronization is via a scalar readback (jnp.sum) rather than
+    # block_until_ready — the latter is unreliable on tunneled platforms.
+    def sync(a):
+        return float(jnp.sum(a))
+
     t0 = time.time()
-    x, status, iters, pr, dr = jax.block_until_ready(solve_all(qps))
+    x, status, iters, pr, dr = solve_all(qps)
+    sync(x)
     log(f"compile+first run: {time.time() - t0:.2f}s")
 
     n_opt = int(np.sum(np.asarray(status) == 0))
@@ -69,7 +75,7 @@ def main():
     t0 = time.time()
     for _ in range(reps):
         out = solve_all(qps)
-    jax.block_until_ready(out)
+        sync(out[0])
     dt = (time.time() - t0) / reps
     qps_per_sec = n_opt / dt
     log(f"steady-state: {dt*1e3:.1f} ms/batch -> {qps_per_sec:.1f} QPs/s")

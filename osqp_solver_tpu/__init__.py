@@ -3,8 +3,20 @@
 A brand-new JAX/XLA/Pallas framework with the capabilities of the reference
 ZPP-Robotics/OSQP-Solver (see SURVEY.md): an OSQP-semantics ADMM core
 (vmapped, fixed shapes, masked convergence), banded/block-tridiagonal KKT
-solvers, UR5e analytical kinematics, SCP + horizon-scaling trajectory
-planning, and multi-chip scaling via jax.sharding meshes.
+solvers with a Pallas lane-major kernel, UR5e analytical kinematics, SCP +
+horizon-scaling trajectory planning, and multi-chip scaling via
+``jax.sharding`` meshes (batch axis) and Schur-complement horizon splits.
+
+Layer map (SURVEY.md §1, re-designed TPU-first):
+
+    ops/       ADMM core, Ruiz scaling, dense + block-tridiagonal KKT,
+               Pallas kernels, solver sessions (setup/update/solve), status
+    gomp/      constraint DSL, line-obstacle geometry, static row layout,
+               dense builder (test path), structured TrajectoryQP (hot path),
+               SCP + time-scaling planner
+    models/    UR5e analytical FK / Jacobians / closed-form IK, RobotBall
+    parallel/  device meshes, batch-sharded solves, Schur horizon partition
+    utils/     native C++ oracle bridge, observability (stats, tracing)
 """
 
 __version__ = "0.1.0"
@@ -13,13 +25,23 @@ from .gomp import constraints
 from .gomp.builder import ConstraintBuilder
 from .gomp.geometry import HorizontalLine
 from .gomp.layout import TrajectoryLayout, make_layout
+from .gomp.planner import GOMPSolver, PlanResult
 from .gomp.trajectory import (
     calc_warm_start,
     linspace_configs,
     smoothness_objective,
     tri_diagonal_matrix,
 )
+from .gomp.trajectory_qp import (
+    TrajectoryQP,
+    empty_trajectory_qp,
+    linearize_workspace,
+    with_gomp_boxes,
+)
 from .models.robot import RobotBall
+from .ops.admm import Settings, SolveResult, solve
+from .ops.qp import DenseQP, dense_qp
+from .ops.status import ExitCode
 
 __all__ = [
     "constraints",
@@ -28,8 +50,20 @@ __all__ = [
     "TrajectoryLayout",
     "make_layout",
     "RobotBall",
+    "GOMPSolver",
+    "PlanResult",
     "tri_diagonal_matrix",
     "smoothness_objective",
     "linspace_configs",
     "calc_warm_start",
+    "TrajectoryQP",
+    "empty_trajectory_qp",
+    "with_gomp_boxes",
+    "linearize_workspace",
+    "Settings",
+    "SolveResult",
+    "solve",
+    "DenseQP",
+    "dense_qp",
+    "ExitCode",
 ]
