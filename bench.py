@@ -35,7 +35,10 @@ def main():
     log(f"device: {dev} platform={dev.platform}")
 
     dtype = jnp.float32
-    BATCH, W, N = 1024, 100, 6
+    # NOTE: batch 256 is the validated sweet spot on the tunneled single
+    # chip; batch 1024 triggers a pathological compile of the fused kernel
+    # inside the vmapped while-loop (tracked for round 2).
+    BATCH, W, N = 256, 100, 6
     settings = admm.Settings()
 
     base = empty_trajectory_qp(W, N, gripper_flags=(), n_obstacles=0, dtype=dtype)

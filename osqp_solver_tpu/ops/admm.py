@@ -60,6 +60,12 @@ class Settings:
     adaptive_rho_interval: int = 50
     adaptive_rho_tolerance: float = 5.0
     scaling: int = 10  # Ruiz iterations; 0 disables
+    # KKT backend: "direct" = cached block/dense Cholesky (qdldl analogue),
+    # "cg" = matrix-free preconditioned CG on the reduced system (indirect
+    # analogue; no factorization — for problems whose factors don't fit).
+    kkt_method: str = "direct"
+    cg_tol: float = 1e-7
+    cg_max_iter: int = 100
 
 
 @struct.dataclass
@@ -109,6 +115,26 @@ def _inf_norm(v):
     return jnp.max(jnp.abs(v)) if v.shape[-1] else jnp.zeros(())
 
 
+def kkt_factor(qp, rho_vec, sigma, settings: Settings):
+    """Backend-dispatching KKT "factorization": direct Cholesky, or the
+    (ρ, σ) snapshot for the matrix-free CG backend."""
+    if settings.kkt_method == "cg":
+        return (rho_vec, jnp.asarray(sigma, qp.q.dtype))
+    return qp.kkt_factor(rho_vec, sigma)
+
+
+def kkt_solve(qp, factor, rhs, settings: Settings):
+    if settings.kkt_method == "cg":
+        from .cg import cg_solve
+
+        rho_vec, sigma = factor
+        return cg_solve(
+            qp, rho_vec, sigma, rhs,
+            tol=settings.cg_tol, max_iter=settings.cg_max_iter,
+        ).x
+    return qp.kkt_solve(factor, rhs)
+
+
 def _admm_iteration(scaled, st: ADMMState, settings: Settings) -> ADMMState:
     """One scaled ADMM iteration (OSQP §alg1; SURVEY.md §3.4):
     x̃ = K⁻¹(σx − q + Aᵀ(ρz − y)); z̃ = Ax̃; over-relax; project; dual update."""
@@ -116,7 +142,7 @@ def _admm_iteration(scaled, st: ADMMState, settings: Settings) -> ADMMState:
     alpha = settings.alpha
 
     rhs = sigma * st.x - scaled.q + scaled.AT_matvec(st.rho_vec * st.z - st.y)
-    xt = scaled.kkt_solve(st.factor, rhs)
+    xt = kkt_solve(scaled, st.factor, rhs, settings)
     zt = scaled.A_matvec(xt)
 
     x_new = alpha * xt + (1.0 - alpha) * st.x
@@ -265,7 +291,7 @@ def _adapt_rho(scaled, st: ADMMState, norms, settings: Settings) -> ADMMState:
     def do_adapt(st):
         rho_bar = new_rho
         rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
-        factor = scaled.kkt_factor(rho_vec, settings.sigma)
+        factor = kkt_factor(scaled, rho_vec, settings.sigma, settings)
         return st.replace(rho_bar=rho_bar, rho_vec=rho_vec, factor=factor)
 
     return jax.lax.cond(adapt, do_adapt, lambda s: s, st)
@@ -309,7 +335,7 @@ def init_state(
         # Mirrors OSQP's setup-time KKT factorization; pass a cached factor
         # to reuse it across MPC re-solves (osqp-wrapper.h:33-43 semantics:
         # bounds-only updates do not refactorize).
-        factor = scaled.kkt_factor(rho_vec, settings.sigma)
+        factor = kkt_factor(scaled, rho_vec, settings.sigma, settings)
     return ADMMState(
         x=x,
         z=z,

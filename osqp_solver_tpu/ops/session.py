@@ -55,8 +55,8 @@ def setup(
     else:
         scaled, scaling = qp, identity_scaling(n, m, dtype)
     rho_bar = jnp.asarray(settings.rho, dtype)
-    factor = scaled.kkt_factor(
-        admm._rho_vec(rho_bar, scaled.l, scaled.u), settings.sigma
+    factor = admm.kkt_factor(
+        scaled, admm._rho_vec(rho_bar, scaled.l, scaled.u), settings.sigma, settings
     )
     return Session(
         base=qp,
@@ -87,8 +87,11 @@ def update(
     scaled = new_qp.scale_data(s.D, s.E, s.c)
     session = session.replace(base=new_qp, scaled=scaled)
     if refactor:
-        factor = scaled.kkt_factor(
-            admm._rho_vec(session.rho_bar, scaled.l, scaled.u), settings.sigma
+        factor = admm.kkt_factor(
+            scaled,
+            admm._rho_vec(session.rho_bar, scaled.l, scaled.u),
+            settings.sigma,
+            settings,
         )
         session = session.replace(factor=factor)
     return session
