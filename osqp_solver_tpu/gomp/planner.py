@@ -232,3 +232,119 @@ class GOMPSolver:
         half = sol.size // 2
         sol[half:] /= self.time_step  # unscale velocities (gomp-solver.h:53)
         return PlanResult(status=last_code, trajectory=sol, stats=stats)
+
+    # ---------------------------------------------------------------- batch
+
+    def run_batch(self, starts, ends, waypoints: int, max_scp: Optional[int] = None):
+        """Batched fixed-horizon planner: one device program runs the whole
+        SCP loop (solve → exact-FK check → re-linearize → update) for a batch
+        of (start, end) queries with masked per-problem convergence — the
+        production-scale path (thousands of trajectory queries per chip,
+        SURVEY.md §2.3).
+
+        Returns ``(statuses, trajectories, scp_iters)`` with velocities
+        unscaled by dt; statuses are per-problem ``ExitCode`` ints
+        (kOptimal only when the exact-FK check passed).
+        """
+        import jax
+
+        W, N = int(waypoints), self.n_dim
+        assert W >= 4
+        max_scp = self.max_scp_iterations if max_scp is None else int(max_scp)
+        balls, obstacles = self.balls, self.obstacles
+        con3d = (
+            jnp.asarray(self.con_3d.lower, self.dtype),
+            jnp.asarray(self.con_3d.upper, self.dtype),
+        )
+        settings = self.settings
+
+        starts = jnp.asarray(starts, self.dtype)
+        ends = jnp.asarray(ends, self.dtype)
+
+        def plan_one(start, end):
+            warm = calc_warm_start_jnp(start, end, W)
+            sess = self._build_session(start, end, warm, W)
+
+            def cond(carry):
+                sess, x, status, ok, k = carry
+                running = (~ok) & (
+                    (status == ExitCode.kOptimal)
+                    | (status == ExitCode.kUnknown)
+                    | (status == ExitCode.kOptimalInaccurate)
+                )
+                return running & (k < max_scp)
+
+            def body(carry):
+                sess, x, status, ok, k = carry
+                sess, res = ops_session.solve(sess, settings)
+                ok = self._is_solution_ok_fn(W)(res.x)
+                new_qp = linearize_workspace(
+                    sess.base, balls, obstacles, con3d, res.x
+                )
+                sess = ops_session.update(sess, new_qp, settings=settings)
+                return (sess, res.x, res.status, ok, k + 1)
+
+            init = (
+                sess,
+                warm,
+                jnp.full((), ExitCode.kUnknown, jnp.int32),
+                jnp.zeros((), bool),
+                jnp.zeros((), jnp.int32),
+            )
+            sess, x, status, ok, k = jax.lax.while_loop(cond, body, init)
+            final_status = jnp.where(
+                ok, ExitCode.kOptimal, ExitCode.kUnknown
+            ).astype(jnp.int32)
+            half = W * N
+            x = jnp.concatenate([x[:half], x[half:] / self.time_step])
+            return final_status, x, k
+
+        key = ("batch", W, max_scp)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(jax.vmap(plan_one))
+        return self._compiled[key](starts, ends)
+
+    def _build_session(self, start, end, warm, W):
+        """Traceable session construction for one problem at horizon W."""
+        N = self.n_dim
+        qp = empty_trajectory_qp(
+            W, N, [b.is_gripper for b in self.balls], len(self.obstacles), self.dtype
+        )
+        qp = with_gomp_boxes(
+            qp,
+            start,
+            end,
+            (jnp.asarray(self.pos_con.lower, self.dtype), jnp.asarray(self.pos_con.upper, self.dtype)),
+            (jnp.asarray(self.vel_con.lower, self.dtype), jnp.asarray(self.vel_con.upper, self.dtype)),
+            (jnp.asarray(self.acc_con.lower, self.dtype), jnp.asarray(self.acc_con.upper, self.dtype)),
+        )
+        con3d = (
+            jnp.asarray(self.con_3d.lower, self.dtype),
+            jnp.asarray(self.con_3d.upper, self.dtype),
+        )
+        qp = linearize_workspace(qp, self.balls, self.obstacles, con3d, warm)
+        return ops_session.setup(qp, self.settings, warm_x=warm)
+
+    def _is_solution_ok_fn(self, W):
+        N = self.n_dim
+        con3d = (
+            jnp.asarray(self.con_3d.lower, self.dtype),
+            jnp.asarray(self.con_3d.upper, self.dtype),
+        )
+
+        def is_ok(x):
+            q = x[: W * N].reshape(W, N)
+            ok = jnp.array(True)
+            for ball in self.balls:
+                pts = jax.vmap(lambda s: jnp.asarray(ball.fk(s), self.dtype))(q)
+                r = ball.radius
+                if ball.is_gripper:
+                    ok &= jnp.all(con3d[0][None, :] - ERROR <= pts - r)
+                    ok &= jnp.all(pts + r <= con3d[1][None, :] + ERROR)
+                for line in self.obstacles:
+                    coll = line.has_collision(pts, r)
+                    above = line.is_above(pts, r)
+                    ok &= jnp.all(~coll | above)
+            return ok
+
+        return is_ok

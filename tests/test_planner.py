@@ -141,3 +141,28 @@ def test_run_horizon_public():
     assert code == ExitCode.kOptimal
     assert sol.shape == (2 * 8 * N,)
     assert stats.scp_iterations >= 1
+
+
+def test_run_batch_fixed_horizon():
+    """Batched on-device SCP planner: many (start, end) queries in one
+    compiled program, masked per-problem convergence."""
+    line = HorizontalLine.create([1.0, 0.0], [0.0, 0.0, 0.5], False)
+    solver = make_solver(obstacles=[line], waypoints=8)
+    B = 6
+    starts = np.tile(np.array([0.0, 1.0, 0.2]), (B, 1))
+    ends = np.tile(np.array([0.5, -1.0, 0.2]), (B, 1)) + 0.01 * np.arange(B)[:, None]
+    statuses, trajs, iters = solver.run_batch(starts, ends, waypoints=8)
+    assert trajs.shape == (B, 2 * 8 * N)
+    assert np.all(np.asarray(statuses) == ExitCode.kOptimal)
+    # per-problem clearance under exact FK
+    for b in range(B):
+        q = jnp.asarray(np.asarray(trajs[b][: 8 * N]).reshape(8, N))
+        coll = np.asarray(line.has_collision(q, 0.05))
+        above = np.asarray(line.is_above(q, 0.05))
+        assert np.all(~coll | above)
+    # velocities are dt-unscaled like the single-problem path
+    q0 = np.asarray(trajs[0][: 8 * N]).reshape(8, N)
+    v0 = np.asarray(trajs[0][8 * N :]).reshape(8, N)
+    np.testing.assert_allclose(
+        v0[:-1], (q0[1:] - q0[:-1]) / solver.time_step, atol=0.3
+    )
