@@ -24,19 +24,23 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+from flax import struct
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.tridiag import block_tridiag_factor, block_tridiag_solve
 from .mesh import HORIZON_AXIS
 
 
-class ChunkedTridiag(NamedTuple):
+@struct.dataclass
+class ChunkedTridiag:
     """Block-tridiagonal system partitioned into K uniform chunks.
 
     ``Di``/``Li``: per-chunk interior tridiag ``(K, Wl, B, B)`` /
     ``(K, Wl-1, B, B)``; ``sepD`` separator diagonal blocks ``(K, B, B)``
     (slot ``K-1`` is a dummy identity); ``Lleft[k] = M[s_k, last_int_k]``,
     ``Lright[k] = M[first_int_k, s_{k-1}]`` (dummy-zero at the edges).
+    ``n_blocks`` (the original W before padding) is static metadata so the
+    container can be carried through scans/while-loops without tracing it.
     """
 
     Di: jnp.ndarray
@@ -44,7 +48,7 @@ class ChunkedTridiag(NamedTuple):
     sepD: jnp.ndarray
     Lleft: jnp.ndarray
     Lright: jnp.ndarray
-    n_blocks: int  # original W before padding
+    n_blocks: int = struct.field(pytree_node=False, default=0)
 
 
 def partition_blocks(diag, lower, n_chunks: int) -> ChunkedTridiag:
@@ -111,6 +115,80 @@ def merge_solution(xi, xs, n_blocks: int):
         if k < K - 1:
             parts.append(xs[k][None])
     return jnp.concatenate(parts)[:n_blocks]
+
+
+@struct.dataclass
+class SchurFactor:
+    """Cached distributed factorization: per-chunk interior Cholesky factors,
+    the interface solve matrices U/V, the Schur contributions, and the
+    factored reduced separator system.  Computing this once and reusing it
+    across ADMM iterations mirrors the qdldl factor cache
+    (``osqp-wrapper.h:33-43`` semantics) at multi-device scale."""
+
+    chunks: ChunkedTridiag
+    interior: object  # BlockTridiagFactor with leading (K,) chunk axis
+    U: jnp.ndarray  # (K, Wl, B, B) interface columns for s_k
+    V: jnp.ndarray  # (K, Wl, B, B) interface columns for s_{k-1}
+    reduced: object  # BlockTridiagFactor of the (K-1)-separator system
+    corr: Tuple  # (C_right, C_left, C_off) gathered (K, B, B) arrays
+
+
+def _chunk_factor(Di, Li, Lleft, Lright):
+    """Factor one chunk interior and its interface solve matrices."""
+    factor = block_tridiag_factor(Di, Li)
+    Wl, B = Di.shape[0], Di.shape[1]
+
+    def solve_cols(rhs_block, position):
+        rhs = jnp.zeros((Wl, B, B), Di.dtype).at[position].set(rhs_block)
+        return jax.vmap(
+            lambda col: block_tridiag_solve(factor, col), in_axes=-1, out_axes=-1
+        )(rhs)
+
+    U = solve_cols(Lleft.T, Wl - 1)
+    V = solve_cols(Lright, 0)
+    return factor, U, V, Lleft @ U[-1], Lright.T @ V[0], Lright.T @ U[0]
+
+
+def schur_factor(diag, lower, n_chunks: int) -> SchurFactor:
+    """Factor the partitioned system once (vmap-over-chunks reference
+    implementation; the sharded path computes the same pieces per device)."""
+    ch = partition_blocks(diag, lower, n_chunks)
+    interior, U, V, C_right, C_left, C_off = jax.vmap(_chunk_factor)(
+        ch.Di, ch.Li, ch.Lleft, ch.Lright
+    )
+    K = n_chunks
+    Sdiag = ch.sepD[: K - 1] - C_right[: K - 1] - C_left[1:K]
+    Slower = -jnp.swapaxes(C_off[1 : K - 1], -1, -2)
+    reduced = block_tridiag_factor(Sdiag, Slower)
+    return SchurFactor(
+        chunks=ch, interior=interior, U=U, V=V, reduced=reduced,
+        corr=(C_right, C_left, C_off),
+    )
+
+
+def schur_solve_cached(sf: SchurFactor, b):
+    """Solve with a cached :class:`SchurFactor` (per-ADMM-iteration path)."""
+    K = sf.chunks.Di.shape[0]
+    bi, bs = partition_rhs(b, K)
+    w = jax.vmap(block_tridiag_solve)(sf.interior, bi)  # (K, Wl, B)
+    r_right = jnp.einsum("kij,kj->ki", sf.chunks.Lleft, w[:, -1])
+    r_left = jnp.einsum("kji,kj->ki", sf.chunks.Lright, w[:, 0])
+    rS = bs[: K - 1] - r_right[: K - 1] - r_left[1:K]
+    xs = block_tridiag_solve(sf.reduced, rS)
+
+    def back(k, w_k, U_k, V_k):
+        B = w_k.shape[-1]
+        zero = jnp.zeros((B,), w_k.dtype)
+        x_right = jnp.where(k < K - 1, xs[jnp.minimum(k, K - 2)], zero)
+        x_left = jnp.where(k > 0, xs[jnp.maximum(k - 1, 0)], zero)
+        return (
+            w_k
+            - jnp.einsum("wbr,r->wb", U_k, x_right)
+            - jnp.einsum("wbr,r->wb", V_k, x_left)
+        )
+
+    xi = jax.vmap(back)(jnp.arange(K), w, sf.U, sf.V)
+    return merge_solution(xi, xs, sf.chunks.n_blocks)
 
 
 def _chunk_local(Di, Li, Lleft, Lright, bi):

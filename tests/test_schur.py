@@ -70,3 +70,41 @@ def test_sharded_long_horizon_kkt_like():
     x_seq = np.asarray(_sequential(diag, lower, b))
     x_shard = np.asarray(schur_solve_sharded(diag, lower, b, mesh))
     np.testing.assert_allclose(x_shard, x_seq, rtol=1e-7, atol=1e-9)
+
+
+def test_cached_factor_matches_sequential():
+    from osqp_solver_tpu.parallel.schur import schur_factor, schur_solve_cached
+
+    W, B, K = 37, 6, 4
+    diag, lower = random_spd_tridiag(jax.random.PRNGKey(11), W, B)
+    sf = schur_factor(diag, lower, K)
+    for seed in (1, 2):
+        b = jax.random.normal(jax.random.PRNGKey(seed), (W, B), jnp.float64)
+        x = np.asarray(schur_solve_cached(sf, b))
+        np.testing.assert_allclose(
+            x, np.asarray(_sequential(diag, lower, b)), rtol=1e-8, atol=1e-10
+        )
+
+
+def test_chunked_trajectory_qp_admm():
+    """Full ADMM on a long-horizon trajectory QP with the chunk-partitioned
+    KKT backend matches the sequential backend (BASELINE config 5 math)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_trajectory_qp import build_both
+
+    from osqp_solver_tpu.ops import admm
+    from osqp_solver_tpu.ops.status import ExitCode
+    from osqp_solver_tpu.parallel.horizon import as_chunked
+
+    _, qp, traj = build_both(True, feasible=True)
+    res_seq = admm.solve(qp, admm.Settings(), warm_x=jnp.asarray(traj))
+    res_chunk = admm.solve(
+        as_chunked(qp, 2), admm.Settings(), warm_x=jnp.asarray(traj)
+    )
+    assert int(res_seq.status) == ExitCode.kOptimal
+    assert int(res_chunk.status) == ExitCode.kOptimal
+    np.testing.assert_allclose(
+        np.asarray(res_chunk.x), np.asarray(res_seq.x), atol=1e-6
+    )
