@@ -74,11 +74,13 @@ def main():
         f"max={int(np.max(iters))}  prim_res max={float(np.max(pr)):.2e}"
     )
 
-    reps = 5
+    # In-order dispatch serializes the reps on-device; one readback at the
+    # end amortizes the tunnel round-trip out of the per-batch time.
+    reps = 10
     t0 = time.time()
-    for _ in range(reps):
-        out = solve_all(qps)
-        sync(out[0])
+    outs = [solve_all(qps) for _ in range(reps)]
+    for o in outs:
+        sync(o[0])
     dt = (time.time() - t0) / reps
     qps_per_sec = n_opt / dt
     log(f"steady-state: {dt*1e3:.1f} ms/batch -> {qps_per_sec:.1f} QPs/s")

@@ -12,10 +12,14 @@ Usage:  python examples/solver_example.py [--waypoints 802] [--cpu]
 from __future__ import annotations
 
 import argparse
+import pathlib
 import sys
 import time
 
 import numpy as np
+
+# Allow running straight from the repo: python examples/solver_example.py
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def main() -> int:

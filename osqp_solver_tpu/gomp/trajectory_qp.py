@@ -371,7 +371,13 @@ class TrajectoryQP:
         return M_diag, M_lower
 
     def kkt_factor(self, rho_vec, sigma):
-        return block_tridiag_factor(*self.kkt_blocks(rho_vec, sigma))
+        # vmap-aware: batched callers hit the fused Pallas block-Cholesky on
+        # TPU; single problems the scan factorization.
+        from ..ops.pallas_tridiag import tridiag_factor
+        from ..ops.tridiag import BlockTridiagFactor
+
+        chol, gain = tridiag_factor(*self.kkt_blocks(rho_vec, sigma))
+        return BlockTridiagFactor(chol=chol, gain=gain)
 
     def kkt_solve(self, factor, rhs):
         # vmap-aware: batched callers hit the fused Pallas lane-major kernel

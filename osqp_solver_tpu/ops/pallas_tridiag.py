@@ -257,6 +257,188 @@ def from_lane_major(arr):
 
 
 # ---------------------------------------------------------------------------
+# Batched block-Cholesky factorization kernel (lane-major).
+# ---------------------------------------------------------------------------
+
+
+def _gain_rows(l, C):
+    """G = L C^{-T} row-by-row: G[i,j] = (L[i,j] − Σ_{k<j} G[i,k] C[j,k]) / C[j,j]."""
+    B2 = l.shape[0]
+    G = [[None] * B2 for _ in range(B2)]
+    for i in range(B2):
+        for j in range(B2):
+            s = l[i, j][None, :]
+            for k in range(j):
+                s = s - G[i][k] * C[j][k]
+            G[i][j] = s / C[j][j]
+    return G
+
+
+def _factor_kernel(diag_hbm, lower_hbm, chol_hbm, gain_hbm, dbuf, lbuf, obuf, gobuf, dsem, lsem, osem, gsem):
+    """One batch-tile: the full block-Cholesky recurrence over the horizon.
+
+    Inputs stream HBM→VMEM double-buffered; each step's ``chol``/``gain``
+    block is written back synchronously (compute dominates the recurrence;
+    write latency is hidden behind the next input DMA).
+    """
+    W = diag_hbm.shape[0]
+    B2 = dbuf.shape[1]
+    lane0 = pl.program_id(0) * LANE_TILE
+
+    def ddma(slot, t):
+        return pltpu.make_async_copy(
+            diag_hbm.at[t, :, :, pl.ds(lane0, LANE_TILE)], dbuf.at[slot], dsem.at[slot]
+        )
+
+    def ldma(slot, t):
+        return pltpu.make_async_copy(
+            lower_hbm.at[t, :, :, pl.ds(lane0, LANE_TILE)], lbuf.at[slot], lsem.at[slot]
+        )
+
+    ddma(0, 0).start()
+
+    def body(t, _):
+        @pl.when(t + 1 < W)
+        def _():
+            ddma((t + 1) % 2, t + 1).start()
+
+        @pl.when(t < W - 1)
+        def _():
+            ldma(t % 2, t).start()  # L_t, consumed at step t+1
+
+        ddma(t % 2, t).wait()
+
+        @pl.when(t > 0)
+        def _():
+            ldma((t + 1) % 2, t - 1).wait()
+
+        d = dbuf[t % 2]  # (B2, B2p, T)
+        # C_prev lives in obuf[(t-1) % 2] == obuf[(t+1) % 2]; its write DMA
+        # completed synchronously last step, so reading it here is safe.
+        Cp = obuf[(t + 1) % 2]
+        l_prev = lbuf[(t + 1) % 2]  # L_{t-1}, streamed last step
+
+        # G_{t-1} = L_{t-1} C_{t-1}^{-T} (garbage at t = 0, masked below).
+        Cp_rows = [[Cp[i, j][None, :] for j in range(B2)] for i in range(B2)]
+        G = _gain_rows(l_prev, Cp_rows)
+
+        # S_t = D_t − G G ᵀ (no correction at t = 0).
+        s_rows = [[None] * B2 for _ in range(B2)]
+        for i in range(B2):
+            for j in range(i + 1):
+                acc = d[i, j][None, :]
+                for k in range(B2):
+                    acc = acc - G[i][k] * G[j][k]
+                s_rows[i][j] = jnp.where(t > 0, acc, d[i, j][None, :])
+
+        # Lane-vectored Cholesky of S_t.
+        C = [[None] * B2 for _ in range(B2)]
+        for i in range(B2):
+            for j in range(i + 1):
+                s = s_rows[i][j]
+                for k in range(j):
+                    s = s - C[i][k] * C[j][k]
+                if i == j:
+                    C[i][j] = jnp.sqrt(s)
+                else:
+                    C[i][j] = s / C[j][j]
+
+        # Store C (and G_{t-1}) into the rotating slots and write them out
+        # synchronously (slot is reread as C_prev next step).
+        zero = jnp.zeros_like(d[0, 0])
+        for i in range(B2):
+            for j in range(B2):
+                obuf[t % 2, i, j] = C[i][j][0] if j <= i else zero
+                gobuf[t % 2, i, j] = G[i][j][0]
+
+        cw = pltpu.make_async_copy(
+            obuf.at[t % 2],
+            chol_hbm.at[t, :, :, pl.ds(lane0, LANE_TILE)],
+            osem.at[t % 2],
+        )
+        cw.start()
+        cw.wait()
+
+        @pl.when(t > 0)
+        def _():
+            gw = pltpu.make_async_copy(
+                gobuf.at[t % 2],
+                gain_hbm.at[t - 1, :, :, pl.ds(lane0, LANE_TILE)],
+                gsem.at[t % 2],
+            )
+            gw.start()
+            gw.wait()
+
+        return 0
+
+    jax.lax.fori_loop(0, W, body, 0)
+
+
+def factor_lane_major(diag, lower, interpret: bool | None = None):
+    """Batched block-Cholesky in lane-major layout.
+
+    ``diag``: (W, B2, B2, B), ``lower``: (W-1, B2, B2, B) →
+    ``(chol (W,B2,B2,B), gain (W-1,B2,B2,B))`` matching
+    :func:`osqp_solver_tpu.ops.tridiag.block_tridiag_factor`.
+    """
+    W, B2, _, B = diag.shape
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    dtype = diag.dtype
+
+    pad = (-B) % LANE_TILE
+    if pad:
+        diag, lower = (
+            jnp.pad(a, [(0, 0)] * 3 + [(0, pad)]) for a in (diag, lower)
+        )
+        eye = jnp.broadcast_to(
+            jnp.eye(B2, dtype=dtype)[None, :, :, None], (W, B2, B2, pad)
+        )
+        diag = diag.at[..., B:].set(eye)  # keep dead lanes SPD
+    Bp = B + pad
+    lower_full = jnp.concatenate(
+        [lower, jnp.zeros((W - lower.shape[0], B2, B2, Bp), dtype)], axis=0
+    )
+    sub_pad = (-B2) % 8
+    if sub_pad:
+        padspec = [(0, 0), (0, 0), (0, sub_pad), (0, 0)]
+        diag = jnp.pad(diag, padspec)
+        lower_full = jnp.pad(lower_full, padspec)
+    B2p = B2 + sub_pad
+
+    grid = (Bp // LANE_TILE,)
+    chol, gain = pl.pallas_call(
+        _factor_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((W, B2, B2p, Bp), dtype),
+            jax.ShapeDtypeStruct((W, B2, B2p, Bp), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, B2, B2p, LANE_TILE), dtype),
+            pltpu.VMEM((2, B2, B2p, LANE_TILE), dtype),
+            pltpu.VMEM((2, B2, B2p, LANE_TILE), dtype),
+            pltpu.VMEM((2, B2, B2p, LANE_TILE), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(diag, lower_full)
+    return chol[:, :, :B2, :B], gain[: W - 1, :, :B2, :B]
+
+
+# ---------------------------------------------------------------------------
 # vmap-transparent entry point: single-problem callers get the scan solver;
 # vmapped batches on TPU dispatch to the Pallas kernel in lane-major layout.
 # ---------------------------------------------------------------------------
@@ -297,3 +479,31 @@ def _tridiag_solve_vmap(axis_size, in_batched, chol, gain, rhs):
         lambda c, g, r: block_tridiag_solve(BlockTridiagFactor(c, g), r)
     )(chol, gain, rhs)
     return out, True
+
+
+from .tridiag import block_tridiag_factor  # noqa: E402
+
+
+@custom_vmap
+def tridiag_factor(diag, lower):
+    """Block-Cholesky factor ``(chol, gain)`` of a block-tridiagonal SPD
+    matrix; under ``vmap`` on TPU the whole batch runs as the lane-major
+    Pallas kernel (one fused recurrence per 128-problem tile)."""
+    f = block_tridiag_factor(diag, lower)
+    return f.chol, f.gain
+
+
+@tridiag_factor.def_vmap
+def _tridiag_factor_vmap(axis_size, in_batched, diag, lower):
+    db, lb = in_batched
+
+    def ensure(a, batched):
+        return a if batched else jnp.broadcast_to(a[None], (axis_size,) + a.shape)
+
+    diag = ensure(diag, db)
+    lower = ensure(lower, lb)
+    if jax.default_backend() == "tpu":
+        chol, gain = factor_lane_major(to_lane_major(diag), to_lane_major(lower))
+        return (from_lane_major(chol), from_lane_major(gain)), (True, True)
+    f = jax.vmap(block_tridiag_factor)(diag, lower)
+    return (f.chol, f.gain), (True, True)

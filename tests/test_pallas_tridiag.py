@@ -62,3 +62,50 @@ def test_kernel_multi_tile_padding():
     np.testing.assert_allclose(
         np.asarray(from_lane_major(out)), np.asarray(expected), rtol=2e-4, atol=2e-4
     )
+
+
+@pytest.mark.parametrize("W,B2,BATCH", [(6, 4, 3), (10, 12, 5), (1, 4, 2)])
+def test_factor_kernel_matches_scan(W, B2, BATCH):
+    from osqp_solver_tpu.ops.pallas_tridiag import factor_lane_major
+
+    keys = jax.random.split(jax.random.PRNGKey(2), BATCH)
+    diags, lowers = jax.vmap(lambda k: random_spd_tridiag(k, W, B2))(keys)
+    diags = diags.astype(jnp.float32)
+    lowers = lowers.astype(jnp.float32)
+    expected = jax.vmap(block_tridiag_factor)(diags, lowers)
+    chol_lm, gain_lm = factor_lane_major(
+        to_lane_major(diags), to_lane_major(lowers), interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(from_lane_major(chol_lm)),
+        np.asarray(expected.chol),
+        rtol=3e-4, atol=3e-4,
+    )
+    if W > 1:
+        np.testing.assert_allclose(
+            np.asarray(from_lane_major(gain_lm)),
+            np.asarray(expected.gain),
+            rtol=3e-4, atol=3e-4,
+        )
+
+
+def test_factor_then_solve_round_trip():
+    """factor kernel + solve kernel solve the original system."""
+    from osqp_solver_tpu.ops.pallas_tridiag import factor_lane_major
+    from osqp_solver_tpu.ops.tridiag import block_tridiag_matvec
+
+    W, B2, BATCH = 7, 6, 4
+    keys = jax.random.split(jax.random.PRNGKey(3), BATCH)
+    diags, lowers = jax.vmap(lambda k: random_spd_tridiag(k, W, B2))(keys)
+    diags = diags.astype(jnp.float32)
+    lowers = lowers.astype(jnp.float32)
+    rhs = jax.random.normal(jax.random.PRNGKey(4), (BATCH, W, B2), jnp.float32)
+    chol_lm, gain_lm = factor_lane_major(
+        to_lane_major(diags), to_lane_major(lowers), interpret=True
+    )
+    x = from_lane_major(
+        solve_lane_major(chol_lm, gain_lm, to_lane_major(rhs), interpret=True)
+    )
+    for b in range(BATCH):
+        resid = block_tridiag_matvec(diags[b], lowers[b], x[b]) - rhs[b]
+        assert float(jnp.max(jnp.abs(resid))) < 1e-3
