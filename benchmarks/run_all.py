@@ -16,10 +16,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import pathlib
 import sys
 import time
 
 import numpy as np
+
+# Allow running straight from the repo: python benchmarks/run_all.py
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 
 def log(*a):

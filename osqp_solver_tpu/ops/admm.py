@@ -243,8 +243,16 @@ def _termination(base, scaled, scaling: Scaling, st: ADMMState, settings: Settin
         & cone_ok
     )
 
+    # Failure detection (SURVEY.md §5): a diverged/NaN iterate marks the
+    # problem kNonConvex (the practical analogue of OSQP's non-convexity
+    # abort) instead of raising — batched siblings keep solving.
+    blew_up = ~jnp.isfinite(jnp.sum(st.x) + jnp.sum(st.y))
+
     at_max = st.iterations >= settings.max_iter
     new_status = jnp.where(
+        blew_up,
+        ExitCode.kNonConvex,
+        jnp.where(
         solved,
         ExitCode.kOptimal,
         jnp.where(
@@ -262,8 +270,9 @@ def _termination(base, scaled, scaling: Scaling, st: ADMMState, settings: Settin
                 ),
             ),
         ),
+        ),
     ).astype(jnp.int32)
-    newly_done = solved | prim_inf | dual_inf | at_max
+    newly_done = solved | prim_inf | dual_inf | at_max | blew_up
 
     st = st.replace(
         status=jnp.where(st.done, st.status, new_status),

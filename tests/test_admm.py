@@ -175,3 +175,11 @@ def test_objective_value():
     res = solve(qp)
     # x* = 1 (closest feasible to unconstrained optimum 0), obj = n/2.
     assert float(res.obj_val) == pytest.approx(n / 2, rel=1e-2)
+
+
+def test_nonconvex_detected():
+    """A negative-definite P diverges; the solver flags kNonConvex instead of
+    raising (failure detection, SURVEY.md §5)."""
+    P = np.array([[-4.0]])
+    res = solve(dense_qp(P, np.zeros(1), np.eye(1), -np.ones(1), np.ones(1)))
+    assert int(res.status) == ExitCode.kNonConvex
