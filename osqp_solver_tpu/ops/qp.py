@@ -26,6 +26,11 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+# TPU matmuls default to reduced-precision f32 (bf16 passes); ADMM needs the
+# real thing — exact accumulation keeps factor/solve consistent and
+# convergence fast (the Pallas banded kernels are exact by construction).
+_HI = jax.lax.Precision.HIGHEST
+
 
 @struct.dataclass
 class DenseQP:
@@ -48,13 +53,13 @@ class DenseQP:
     # --- operators ----------------------------------------------------------
 
     def P_matvec(self, x):
-        return self.P @ x
+        return jnp.matmul(self.P, x, precision=_HI)
 
     def A_matvec(self, x):
-        return self.A @ x
+        return jnp.matmul(self.A, x, precision=_HI)
 
     def AT_matvec(self, y):
-        return self.A.T @ y
+        return jnp.matmul(self.A.T, y, precision=_HI)
 
     # --- Ruiz norms ---------------------------------------------------------
 
@@ -86,7 +91,7 @@ class DenseQP:
         OSQP, SURVEY.md §2.2)."""
         n = self.n
         M = self.P + sigma * jnp.eye(n, dtype=self.P.dtype)
-        M = M + self.A.T @ (rho_vec[:, None] * self.A)
+        M = M + jnp.matmul(self.A.T, rho_vec[:, None] * self.A, precision=_HI)
         return jnp.linalg.cholesky(M)
 
     def kkt_solve(self, factor, rhs):
