@@ -43,11 +43,11 @@ def main():
     log(f"device: {dev} platform={dev.platform}")
 
     dtype = jnp.float32
-    # Batch 512 validated at 10.4k QPs/s (the serial W×iteration dependency
-    # chain dominates, so per-batch time is ~flat in batch size — larger
-    # batches are nearly free throughput until compute-bound).  First
-    # execution on the tunneled chip costs ~1 min extra (program upload).
-    BATCH, W, N = 512, 100, 6
+    # The serial W×iteration dependency chain dominates latency, so per-batch
+    # time is ~flat in batch size (validated: 256→36 ms, 512→49 ms,
+    # 1024→81 ms ⇒ 12.7k QPs/s).  First execution on the tunneled chip costs
+    # ~1-2 min extra (program upload), compile ~25 s (persistently cached).
+    BATCH, W, N = 1024, 100, 6
     settings = admm.Settings()
 
     base = empty_trajectory_qp(W, N, gripper_flags=(), n_obstacles=0, dtype=dtype)
