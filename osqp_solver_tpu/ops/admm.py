@@ -66,6 +66,10 @@ class Settings:
     kkt_method: str = "direct"
     cg_tol: float = 1e-7
     cg_max_iter: int = 100
+    # Iterative-refinement steps after each direct KKT solve (0 = off).
+    # One step recovers near-f64 solve accuracy in f32 for ill-conditioned
+    # KKT systems at the cost of one extra matvec + back-substitution.
+    kkt_refine: int = 0
 
 
 @struct.dataclass
@@ -123,16 +127,25 @@ def kkt_factor(qp, rho_vec, sigma, settings: Settings):
     return qp.kkt_factor(rho_vec, sigma)
 
 
-def kkt_solve(qp, factor, rhs, settings: Settings):
+def kkt_solve(qp, factor, rhs, settings: Settings, rho_vec=None):
     if settings.kkt_method == "cg":
         from .cg import cg_solve
 
-        rho_vec, sigma = factor
+        rho_vec_f, sigma = factor
         return cg_solve(
-            qp, rho_vec, sigma, rhs,
+            qp, rho_vec_f, sigma, rhs,
             tol=settings.cg_tol, max_iter=settings.cg_max_iter,
         ).x
-    return qp.kkt_solve(factor, rhs)
+    x = qp.kkt_solve(factor, rhs)
+    if settings.kkt_refine and rho_vec is not None:
+        for _ in range(settings.kkt_refine):
+            resid = rhs - (
+                qp.P_matvec(x)
+                + settings.sigma * x
+                + qp.AT_matvec(rho_vec * qp.A_matvec(x))
+            )
+            x = x + qp.kkt_solve(factor, resid)
+    return x
 
 
 def _admm_iteration(scaled, st: ADMMState, settings: Settings) -> ADMMState:
@@ -142,7 +155,7 @@ def _admm_iteration(scaled, st: ADMMState, settings: Settings) -> ADMMState:
     alpha = settings.alpha
 
     rhs = sigma * st.x - scaled.q + scaled.AT_matvec(st.rho_vec * st.z - st.y)
-    xt = kkt_solve(scaled, st.factor, rhs, settings)
+    xt = kkt_solve(scaled, st.factor, rhs, settings, rho_vec=st.rho_vec)
     zt = scaled.A_matvec(xt)
 
     x_new = alpha * xt + (1.0 - alpha) * st.x

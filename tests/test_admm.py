@@ -183,3 +183,14 @@ def test_nonconvex_detected():
     P = np.array([[-4.0]])
     res = solve(dense_qp(P, np.zeros(1), np.eye(1), -np.ones(1), np.ones(1)))
     assert int(res.status) == ExitCode.kNonConvex
+
+
+def test_kkt_iterative_refinement_f32():
+    """kkt_refine=1 tightens f32 solve accuracy (same status, residuals no
+    worse)."""
+    qp = random_qp(jax.random.PRNGKey(13), n=24, m=36, dtype=jnp.float32)
+    base = solve(qp, Settings())
+    refined = solve(qp, Settings(kkt_refine=1))
+    assert int(refined.status) == ExitCode.kOptimal
+    assert float(refined.prim_res) <= float(base.prim_res) * 2 + 1e-6
+    check_kkt(qp, refined, eps=1e-2)
