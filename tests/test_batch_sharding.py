@@ -34,3 +34,32 @@ def test_sharded_session_settings():
     mesh = make_mesh(batch=8, horizon=1)
     res = solve_batch_sharded(qps, mesh, admm.Settings(scaling=0))
     assert np.all(np.asarray(res.status) == ExitCode.kOptimal)
+
+
+def test_sharded_trajectory_qps():
+    """Structured (block-banded) trajectory QPs shard over the batch axis
+    too — the production configuration (BASELINE config 3 at scale)."""
+    import jax.numpy as jnp
+
+    from osqp_solver_tpu.gomp.trajectory_qp import (
+        empty_trajectory_qp,
+        with_gomp_boxes,
+    )
+
+    W, N = 12, 3
+    base = empty_trajectory_qp(W, N, gripper_flags=(), n_obstacles=0)
+    pos = (jnp.full(N, -10.0), jnp.full(N, 10.0))
+    vel = (jnp.full(N, -1.0), jnp.full(N, 1.0))
+    acc = (jnp.full(N, -2.0), jnp.full(N, 2.0))
+
+    def one(i):
+        return with_gomp_boxes(
+            base, 0.01 * i * jnp.ones(N), jnp.ones(N), pos, vel, acc
+        )
+
+    qps = jax.vmap(one)(jnp.arange(8.0))
+    mesh = make_mesh(batch=8, horizon=1)
+    res = solve_batch_sharded(qps, mesh)
+    assert np.all(np.asarray(res.status) == ExitCode.kOptimal)
+    ref = solve_batch(qps)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-8)

@@ -166,3 +166,32 @@ def test_run_batch_fixed_horizon():
     np.testing.assert_allclose(
         v0[:-1], (q0[1:] - q0[:-1]) / solver.time_step, atol=0.3
     )
+
+
+def test_horizon_shrink_warm_slicing_quirk():
+    """Pin the reference's warm-start slicing at horizon shrink
+    (gomp-solver.h:43-44): the new warm start is the first two w·N slices of
+    the previous solution — when the previous horizon was longer, the
+    second slice is leftover *positions*, not velocities."""
+    solver = make_solver(waypoints=10, segments=2)
+    start = np.zeros(N)
+    end = np.array([1.0, 0.0, 0.0])
+    # Monkeypatch run_horizon to capture the warm starts it receives.
+    captured = []
+    returned = []
+    orig = solver.run_horizon
+
+    def spy(s, e, w, warm):
+        captured.append((w, np.asarray(warm).copy()))
+        out = orig(s, e, w, warm)
+        returned.append(np.asarray(out[1]).copy())
+        return out
+
+    solver.run_horizon = spy
+    res = solver.run(start, end)
+    assert res.status == ExitCode.kOptimal
+    assert [w for w, _ in captured] == [10, 5]
+    # warm(W=5) = prev_solution[:5N] ++ prev_solution[5N:10N] — i.e. the
+    # first 2·5·N entries of the W=10 solution, whose second half is
+    # leftover POSITIONS of the longer horizon (the reference quirk).
+    np.testing.assert_allclose(captured[1][1], returned[0][: 2 * 5 * N])
