@@ -28,6 +28,12 @@ def main() -> int:
     ap.add_argument("--time-step", type=float, default=0.1)  # :12
     ap.add_argument("--segments", type=int, default=10)
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument(
+        "--obstacles",
+        action="store_true",
+        help="enable the reference's (commented-out) line obstacles "
+        "(solver-example.cpp:48-51)",
+    )
     ap.add_argument("--f32", action="store_true", help="solve in float32")
     args = ap.parse_args()
 
@@ -40,6 +46,7 @@ def main() -> int:
     import jax.numpy as jnp
 
     from osqp_solver_tpu import RobotBall, constraints as C
+    from osqp_solver_tpu.gomp.geometry import HorizontalLine
     from osqp_solver_tpu.gomp.planner import GOMPSolver
     from osqp_solver_tpu.models import ur5e
 
@@ -68,7 +75,14 @@ def main() -> int:
         vel_con=C.in_range(6, -np.pi, np.pi),  # :45
         acc_con=C.in_range(6, -np.pi * 800 / 180, np.pi * 800 / 180),  # :46
         con_3d=C.in_range(3, [-C.INF, -0.4, -C.INF], None),  # :47
-        obstacles=[],  # :48-51 (commented out in the reference too)
+        obstacles=(
+            [
+                HorizontalLine.create([0, 1], [0, 0, 0.6], True),
+                HorizontalLine.create([0, 1], [0.3, 0, 0.5], False),
+            ]
+            if args.obstacles
+            else []  # :48-51 (commented out in the reference too)
+        ),
         balls=balls,
         gripper_ik=ur5e.inverse_kinematics_position,
         segments=args.segments,

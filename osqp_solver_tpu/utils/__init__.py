@@ -1,0 +1,1 @@
+from . import checkpoint, observability, oracle, types  # noqa: F401
