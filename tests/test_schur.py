@@ -108,3 +108,60 @@ def test_chunked_trajectory_qp_admm():
     np.testing.assert_allclose(
         np.asarray(res_chunk.x), np.asarray(res_seq.x), atol=1e-6
     )
+
+
+def test_full_admm_horizon_sharded():
+    """END-TO-END distributed ADMM: the whole solver runs inside shard_map
+    with the KKT factor/solve split over the 8-device horizon axis; result
+    matches the single-device solver (BASELINE config 5 mechanics)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_trajectory_qp import build_both
+
+    from osqp_solver_tpu.ops import admm
+    from osqp_solver_tpu.ops.status import ExitCode
+    from osqp_solver_tpu.parallel.horizon import solve_horizon_sharded
+
+    _, qp, traj = build_both(True, feasible=True)
+    mesh = make_mesh(batch=1, horizon=2)  # W=6 → 2 chunks of 2 + separator
+    res_ref = admm.solve(qp, admm.Settings(), warm_x=jnp.asarray(traj))
+    res_sh = solve_horizon_sharded(
+        qp, mesh, admm.Settings(), warm_x=jnp.asarray(traj)
+    )
+    assert int(res_ref.status) == ExitCode.kOptimal
+    assert int(res_sh.status) == ExitCode.kOptimal
+    np.testing.assert_allclose(
+        np.asarray(res_sh.x), np.asarray(res_ref.x), atol=1e-6
+    )
+
+
+def test_full_admm_horizon_sharded_8dev():
+    """Longer horizon over all 8 devices."""
+    import jax.numpy as jnp_
+
+    from osqp_solver_tpu.gomp.trajectory_qp import (
+        empty_trajectory_qp,
+        with_gomp_boxes,
+    )
+    from osqp_solver_tpu.ops import admm
+    from osqp_solver_tpu.ops.status import ExitCode
+    from osqp_solver_tpu.parallel.horizon import solve_horizon_sharded
+
+    W, N = 40, 3
+    qp = empty_trajectory_qp(W, N)
+    qp = with_gomp_boxes(
+        qp,
+        jnp_.zeros(N),
+        jnp_.ones(N),
+        (jnp_.full(N, -10.0), jnp_.full(N, 10.0)),
+        (jnp_.full(N, -1.0), jnp_.full(N, 1.0)),
+        (jnp_.full(N, -2.0), jnp_.full(N, 2.0)),
+    )
+    mesh = make_mesh(batch=1, horizon=8)
+    res_ref = admm.solve(qp, admm.Settings())
+    res_sh = solve_horizon_sharded(qp, mesh, admm.Settings())
+    assert int(res_sh.status) == ExitCode.kOptimal
+    np.testing.assert_allclose(
+        np.asarray(res_sh.x), np.asarray(res_ref.x), atol=1e-6
+    )
