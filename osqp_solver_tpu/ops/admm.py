@@ -70,6 +70,13 @@ class Settings:
     # One step recovers near-f64 solve accuracy in f32 for ill-conditioned
     # KKT systems at the cost of one extra matvec + back-substitution.
     kkt_refine: int = 0
+    # Solution polishing (OSQP `polish`, default off there too): after
+    # convergence, re-solve with active constraints pinned (huge ρ on the
+    # dual-active rows, tiny elsewhere — the penalty form of the active-set
+    # KKT) + refinement; adopted only if it improves both residuals.
+    polish: bool = False
+    polish_delta: float = 1e-6
+    polish_refine_iter: int = 3
 
 
 @struct.dataclass
@@ -406,6 +413,53 @@ def run_admm(base, scaled, scaling: Scaling, st: ADMMState, settings: Settings) 
     return jax.lax.while_loop(cond, chunk, st)
 
 
+def polish(base, scaled, scaling: Scaling, st: ADMMState, settings: Settings) -> ADMMState:
+    """OSQP-style solution polishing (OSQP ``polish.c`` semantics, penalty
+    form): pin the dual-active constraints (ȳ<0 → lower bound, ȳ>0 → upper)
+    by solving ``(P+σI+Aᵀdiag(ρ_pol)A) x = −q + Aᵀ(ρ_pol·z_act)`` with huge
+    ρ on active rows and tiny elsewhere, plus iterative refinement; the
+    polished iterate is adopted only where it improves both residuals."""
+    delta = settings.polish_delta
+    # OSQP polish.c active-set guess: a bound is active when the slack is
+    # smaller than the dual magnitude pointing into it.
+    act_low = (st.z - scaled.l) < -st.y
+    act_upp = (scaled.u - st.z) < st.y
+    active = act_low | act_upp
+    z_target = jnp.where(act_low, scaled.l, jnp.where(act_upp, scaled.u, st.z))
+    rho_pol = jnp.where(active, 1.0 / delta, delta)
+
+    factor = kkt_factor(scaled, rho_pol, settings.sigma, settings)
+    rhs = -scaled.q + scaled.AT_matvec(rho_pol * z_target)
+    x = kkt_solve(scaled, factor, rhs, settings)
+    for _ in range(settings.polish_refine_iter):
+        resid = rhs - (
+            scaled.P_matvec(x)
+            + settings.sigma * x
+            + scaled.AT_matvec(rho_pol * scaled.A_matvec(x))
+        )
+        x = x + kkt_solve(scaled, factor, resid, settings)
+    Ax = scaled.A_matvec(x)
+    y = jnp.where(active, rho_pol * (Ax - z_target), 0.0)
+    z = jnp.where(active, z_target, Ax)
+
+    # Unscaled residuals of the polished iterate.
+    prim = _inf_norm(scaling.Einv * (Ax - z))
+    dual = scaling.cinv * _inf_norm(
+        scaling.Dinv * (scaled.P_matvec(x) + scaled.q + scaled.AT_matvec(y))
+    )
+    better = (prim <= st.prim_res) & (dual <= st.dual_res) & (
+        st.status == ExitCode.kOptimal
+    )
+    sel = lambda new, old: jnp.where(better, new, old)
+    return st.replace(
+        x=sel(x, st.x),
+        z=sel(z, st.z),
+        y=sel(y, st.y),
+        prim_res=sel(prim, st.prim_res),
+        dual_res=sel(dual, st.dual_res),
+    )
+
+
 def solve(
     qp,
     settings: Settings = Settings(),
@@ -425,6 +479,8 @@ def solve(
         )
     st = init_state(scaled, settings, warm_x, warm_y, scaling)
     st = run_admm(qp, scaled, scaling, st, settings)
+    if settings.polish:
+        st = polish(qp, scaled, scaling, st, settings)
     return finalize(qp, scaling, st)
 
 

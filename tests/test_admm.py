@@ -194,3 +194,18 @@ def test_kkt_iterative_refinement_f32():
     assert int(refined.status) == ExitCode.kOptimal
     assert float(refined.prim_res) <= float(base.prim_res) * 2 + 1e-6
     check_kkt(qp, refined, eps=1e-2)
+
+
+def test_polish_tightens_residuals():
+    """Settings(polish=True): active-set polishing drives residuals far
+    below the ADMM stopping tolerance (OSQP polish semantics)."""
+    qp = random_qp(jax.random.PRNGKey(17), n=16, m=24)
+    rough = solve(qp)
+    polished = solve(qp, Settings(polish=True))
+    assert int(polished.status) == ExitCode.kOptimal
+    assert float(polished.prim_res) <= float(rough.prim_res)
+    assert float(polished.dual_res) <= float(rough.dual_res)
+    # typically orders of magnitude tighter
+    assert float(polished.prim_res) < 1e-5
+    assert float(polished.dual_res) < 1e-5
+    check_kkt(qp, polished, eps=1e-4)
