@@ -135,8 +135,12 @@ def main():
     )
 
     # ---- config 3: GOMP 100-waypoint trajectory batch ---------------------
+    # The HONEST class: UR5e 2-ball workspace rows + 1 obstacle, matching
+    # examples/solver-example.cpp:37-51 (and bench.py's headline).
+    from bench import build_honest_batch
+
     B3 = 128 if args.quick else 256
-    qps3 = build_trajectory_batch(B3, 100, 6, dtype)
+    qps3 = build_honest_batch(B3, 100, 6, dtype)
     f3 = jax.jit(
         lambda qps: jax.vmap(lambda qp: admm.solve(qp, settings))(qps)
     )
@@ -150,7 +154,8 @@ def main():
     emit(
         "config3_gomp_100wp_qps_per_sec",
         n_opt3 / dt,
-        f"QPs/s (100-waypoint 6-DOF banded, batch {B3}, {n_opt3}/{B3} optimal)",
+        f"QPs/s (100-waypoint 6-DOF UR5e, workspace+obstacle rows, "
+        f"batch {B3}, {n_opt3}/{B3} optimal)",
     )
 
     # ---- config 4: MPC warm-start sweep -----------------------------------

@@ -100,14 +100,13 @@ def main() -> int:
     W = traj.size // 12
     q = traj[: W * 6].reshape(W, 6)
 
+    from osqp_solver_tpu.utils.trajectory_io import write_trajectory_files
+
     fk = lambda qi: np.asarray(ur5e.forward_kinematics(jnp.asarray(qi, dtype)))
-    with open("output_trajectory_ctrl.data", "w") as f_ctrl, open(
-        "output_trajectory_xyz.data", "w"
-    ) as f_xyz:
-        for i in range(W):
-            f_ctrl.write(" ".join(f"{v:g}" for v in q[i]) + "\n")
-            p = fk(q[i])
-            f_xyz.write(f"({p[0]:g}, {p[1]:g}, {p[2]:g})\n")
+    points = np.stack([fk(q[i]) for i in range(W)])
+    write_trajectory_files(
+        q, points, "output_trajectory_ctrl.data", "output_trajectory_xyz.data"
+    )
 
     start_gt = fk(start)
     print(f"status: {res.status.name}  waypoints: {W}  wall: {wall:.2f}s")

@@ -270,14 +270,263 @@ int osqp_oracle_solve(int n, int m, const double* P, const double* q,
 
   if (status == kUnknown) {
     status = kMaxIterations;
-    // OSQP "inaccurate" check at 10x tolerance.
-    double nAx = 0, nz = 0;
+    // OSQP "inaccurate" check at 10x tolerance — BOTH residuals must pass
+    // (OSQP termination.c; matches the JAX core at ops/admm.py::_termination).
+    double nAx = 0, nz = 0, nPx = 0, nATy = 0, nq = inf_norm(q, n);
     for (int r = 0; r < m; ++r) {
       nAx = std::max(nAx, std::fabs(Ax[r]));
       nz = std::max(nz, std::fabs(z[r]));
     }
+    for (int i = 0; i < n; ++i) {
+      nPx = std::max(nPx, std::fabs(Px[i]));
+      nATy = std::max(nATy, std::fabs(ATy[i]));
+    }
     double eps_p10 = 10 * (eps_abs + eps_rel * std::max(nAx, nz));
-    if (prim_res <= eps_p10) status = kOptimalInaccurate;
+    double eps_d10 =
+        10 * (eps_abs + eps_rel * std::max(std::max(nPx, nATy), nq));
+    if (prim_res <= eps_p10 && dual_res <= eps_d10)
+      status = kOptimalInaccurate;
+  }
+
+  std::memcpy(x_out, x.data(), n * sizeof(double));
+  std::memcpy(y_out, y.data(), m * sizeof(double));
+  *iters_out = iter;
+  *prim_res_out = prim_res;
+  *dual_res_out = dual_res;
+  return status;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Sparse-A / banded-KKT variant: the qdldl-equivalent cost model.
+//
+// The dense path above is O(n^2 m) in assembly and O(n^3) in factorization —
+// fine for the small cross-validation QPs, intractable at the reference
+// example scale (solver-example.cpp: W=802 -> n=9,624).  OSQP's qdldl
+// factors the sparse KKT in near-banded time for trajectory problems; this
+// variant makes that explicit: A arrives in CSR, P in CSR, and the reduced
+// KKT  P + sigma*I + A' diag(rho) A  is assembled and Cholesky-factored in
+// LAPACK-style lower-band storage (half-bandwidth kb, given by the caller —
+// 2N for the interleaved [q_t, v_t] trajectory ordering).  Factor cost
+// O(n kb^2), solve O(n kb), per-iteration matvecs O(nnz): the honest
+// single-thread CPU anchor for BASELINE.md.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Banded lower Cholesky: band[i*(kb+1)+d] = K[i, i-d], d = 0..kb.
+bool band_cholesky(std::vector<double>& band, int n, int kb) {
+  const int w = kb + 1;
+  for (int i = 0; i < n; ++i) {
+    const int j0 = std::max(0, i - kb);
+    for (int j = j0; j <= i; ++j) {
+      double s = band[i * w + (i - j)];
+      const int k0 = std::max(j0, j - kb);
+      for (int k = k0; k < j; ++k)
+        s -= band[i * w + (i - k)] * band[j * w + (j - k)];
+      if (i == j) {
+        if (s <= 0.0) return false;
+        band[i * w] = std::sqrt(s);
+      } else {
+        band[i * w + (i - j)] = s / band[j * w];
+      }
+    }
+  }
+  return true;
+}
+
+void band_chol_solve(const std::vector<double>& band, std::vector<double>& b,
+                     int n, int kb) {
+  const int w = kb + 1;
+  for (int i = 0; i < n; ++i) {
+    double s = b[i];
+    const int k0 = std::max(0, i - kb);
+    for (int k = k0; k < i; ++k) s -= band[i * w + (i - k)] * b[k];
+    b[i] = s / band[i * w];
+  }
+  for (int i = n - 1; i >= 0; --i) {
+    double s = b[i];
+    const int k1 = std::min(n - 1, i + kb);
+    for (int k = i + 1; k <= k1; ++k) s -= band[k * w + (k - i)] * b[k];
+    b[i] = s / band[i * w];
+  }
+}
+
+struct Csr {
+  const int* indptr;
+  const int* indices;
+  const double* data;
+  int rows;
+};
+
+inline void csr_matvec(const Csr& M, const double* v, double* out) {
+  for (int r = 0; r < M.rows; ++r) {
+    double s = 0.0;
+    for (int p = M.indptr[r]; p < M.indptr[r + 1]; ++p)
+      s += M.data[p] * v[M.indices[p]];
+    out[r] = s;
+  }
+}
+
+inline void csr_matvec_T(const Csr& M, const double* v, double* out, int n) {
+  for (int i = 0; i < n; ++i) out[i] = 0.0;
+  for (int r = 0; r < M.rows; ++r) {
+    const double vr = v[r];
+    if (vr == 0.0) continue;
+    for (int p = M.indptr[r]; p < M.indptr[r + 1]; ++p)
+      out[M.indices[p]] += M.data[p] * vr;
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Same ADMM semantics as osqp_oracle_solve, but P/A in CSR and the KKT
+// factored banded (half-bandwidth kb).  Returns kNonConvex if a KKT entry
+// falls outside the declared band.
+int osqp_oracle_solve_sparse(
+    int n, int m, int kb, const int* P_indptr, const int* P_indices,
+    const double* P_data, const double* q, const int* A_indptr,
+    const int* A_indices, const double* A_data, const double* l,
+    const double* u, double* x_out,
+    double* y_out, int* iters_out, double* prim_res_out, double* dual_res_out,
+    int max_iter, int check_every, double eps_abs, double eps_rel,
+    double eps_prim_inf, double eps_dual_inf, double rho0, double sigma,
+    double alpha, int adaptive_rho, const double* warm_x,
+    const double* warm_y) {
+  const Csr P{P_indptr, P_indices, P_data, n};
+  const Csr A{A_indptr, A_indices, A_data, m};
+  std::vector<double> rho(m), x(n, 0.0), z(m, 0.0), y(m, 0.0);
+  std::vector<double> dx(n, 0.0), dy(m, 0.0);
+  double rho_bar = rho0;
+
+  auto rho_vec = [&](double rb) {
+    for (int i = 0; i < m; ++i) {
+      bool loose = l[i] <= -kInfThresh && u[i] >= kInfThresh;
+      bool eq = (u[i] - l[i]) < kRhoTol;
+      double r = eq ? kRhoEqFactor * rb : rb;
+      if (loose) r = kRhoMin;
+      rho[i] = std::min(std::max(r, kRhoMin), kRhoMax);
+    }
+  };
+
+  const int w = kb + 1;
+  std::vector<double> band((size_t)n * w);
+  bool band_ok = true;
+  auto factor = [&]() -> bool {
+    std::fill(band.begin(), band.end(), 0.0);
+    for (int i = 0; i < n; ++i) {
+      band[(size_t)i * w] = sigma;
+      for (int p = P.indptr[i]; p < P.indptr[i + 1]; ++p) {
+        int j = P.indices[p];
+        if (j > i) continue;  // lower triangle only
+        if (i - j > kb) { band_ok = false; return false; }
+        band[(size_t)i * w + (i - j)] += P_data[p];
+      }
+    }
+    for (int r = 0; r < m; ++r) {
+      const double rr = rho[r];
+      for (int p = A.indptr[r]; p < A.indptr[r + 1]; ++p) {
+        const int i = A.indices[p];
+        const double w_i = rr * A.data[p];
+        for (int p2 = A.indptr[r]; p2 < A.indptr[r + 1]; ++p2) {
+          const int j = A.indices[p2];
+          if (j > i) continue;
+          if (i - j > kb) { band_ok = false; return false; }
+          band[(size_t)i * w + (i - j)] += w_i * A.data[p2];
+        }
+      }
+    }
+    return band_cholesky(band, n, kb);
+  };
+
+  rho_vec(rho_bar);
+  if (!factor()) return kNonConvex;
+
+  if (warm_x) {
+    std::memcpy(x.data(), warm_x, n * sizeof(double));
+    csr_matvec(A, x.data(), z.data());
+  }
+  if (warm_y) std::memcpy(y.data(), warm_y, m * sizeof(double));
+
+  std::vector<double> rhs(n), xt(n), zt(m), Ax(m), Px(n), ATy(n), tmp_m(m);
+  int iter = 0;
+  int status = kUnknown;
+  double prim_res = 1e30, dual_res = 1e30;
+
+  while (iter < max_iter) {
+    for (int step = 0; step < check_every && iter < max_iter; ++step, ++iter) {
+      for (int r = 0; r < m; ++r) tmp_m[r] = rho[r] * z[r] - y[r];
+      csr_matvec_T(A, tmp_m.data(), rhs.data(), n);
+      for (int i = 0; i < n; ++i) rhs[i] += sigma * x[i] - q[i];
+      xt = rhs;
+      band_chol_solve(band, xt, n, kb);
+      csr_matvec(A, xt.data(), zt.data());
+      for (int i = 0; i < n; ++i) {
+        double xn = alpha * xt[i] + (1 - alpha) * x[i];
+        dx[i] = xn - x[i];
+        x[i] = xn;
+      }
+      for (int r = 0; r < m; ++r) {
+        double ztmp = alpha * zt[r] + (1 - alpha) * z[r];
+        double zn = ztmp + y[r] / rho[r];
+        zn = std::min(std::max(zn, l[r]), u[r]);
+        double yn = y[r] + rho[r] * (ztmp - zn);
+        dy[r] = yn - y[r];
+        y[r] = yn;
+        z[r] = zn;
+      }
+    }
+
+    csr_matvec(A, x.data(), Ax.data());
+    csr_matvec(P, x.data(), Px.data());
+    csr_matvec_T(A, y.data(), ATy.data(), n);
+    double nAx = inf_norm(Ax.data(), m), nz = inf_norm(z.data(), m);
+    double nPx = inf_norm(Px.data(), n), nATy = inf_norm(ATy.data(), n);
+    double nq = 0.0;
+    prim_res = 0.0;
+    dual_res = 0.0;
+    for (int r = 0; r < m; ++r)
+      prim_res = std::max(prim_res, std::fabs(Ax[r] - z[r]));
+    for (int i = 0; i < n; ++i) {
+      const double qi = q[i];
+      nq = std::max(nq, std::fabs(qi));
+      dual_res = std::max(dual_res, std::fabs(Px[i] + qi + ATy[i]));
+    }
+    double eps_prim = eps_abs + eps_rel * std::max(nAx, nz);
+    double eps_dual = eps_abs + eps_rel * std::max(std::max(nPx, nATy), nq);
+    if ((m == 0 || prim_res <= eps_prim) && dual_res <= eps_dual) {
+      status = kOptimal;
+      break;
+    }
+
+    if (adaptive_rho) {
+      double pr = prim_res / std::max(std::max(nAx, nz), kDivTol);
+      double dr =
+          dual_res / std::max(std::max(std::max(nPx, nATy), nq), kDivTol);
+      double nr = rho_bar * std::sqrt(pr / std::max(dr, kDivTol));
+      nr = std::min(std::max(nr, kRhoMin), kRhoMax);
+      if (nr > 5.0 * rho_bar || nr < rho_bar / 5.0) {
+        rho_bar = nr;
+        rho_vec(rho_bar);
+        if (!factor()) return kNonConvex;
+      }
+    }
+  }
+
+  if (status == kUnknown) {
+    status = kMaxIterations;
+    double nAx = inf_norm(Ax.data(), m), nz = inf_norm(z.data(), m);
+    double nPx = inf_norm(Px.data(), n), nATy = inf_norm(ATy.data(), n);
+    double nq = 0.0;
+    for (int i = 0; i < n; ++i) nq = std::max(nq, std::fabs(q[i]));
+    double eps_p10 = 10 * (eps_abs + eps_rel * std::max(nAx, nz));
+    double eps_d10 =
+        10 * (eps_abs + eps_rel * std::max(std::max(nPx, nATy), nq));
+    if (prim_res <= eps_p10 && dual_res <= eps_d10)
+      status = kOptimalInaccurate;
   }
 
   std::memcpy(x_out, x.data(), n * sizeof(double));

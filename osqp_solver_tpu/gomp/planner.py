@@ -186,8 +186,14 @@ class GOMPSolver:
                     SegmentStats(waypoints, i + 1, total_admm, status),
                 )
             if bool(ok):
+                # Propagate kOptimalInaccurate rather than promoting it: the
+                # reference treats anything but kOptimal as failure
+                # (gomp-solver.h:72-76), so a 10x-relaxed-tolerance solve must
+                # stay distinguishable for the caller.
                 return (
-                    ExitCode.kOptimal,
+                    ExitCode.kOptimal
+                    if status == int(ExitCode.kOptimal)
+                    else ExitCode.kOptimalInaccurate,
                     last_solution,
                     SegmentStats(waypoints, i + 1, total_admm, status),
                 )

@@ -407,6 +407,95 @@ class TrajectoryQP:
         v_idx = (jnp.arange(W)[:, None] * 2 * N + N + jnp.arange(N)[None, :]).reshape(-1)
         return jnp.concatenate([q_idx, v_idx])
 
+    def to_csr(self):
+        """Host-side CSR export in *interleaved* ``[q_t, v_t]`` variable order
+        (banded KKT) for the native sparse oracle
+        (``native/osqp_oracle.cpp::osqp_oracle_solve_sparse``).
+
+        Returns ``(P_csr, q, A_csr, l, u, kb, perm)`` as numpy data, where
+        each ``*_csr`` is an ``(indptr, indices, data)`` triple, ``kb = 4N-1``
+        is the KKT half-bandwidth of the block-tridiagonal structure, and
+        ``perm`` maps reference-layout variable i → interleaved index
+        (``x_ref = x_interleaved[perm]``).
+        """
+        W, N = self.waypoints, self.n_dim
+        qcol = lambda t, j: 2 * N * t + j
+        vcol = lambda t, j: 2 * N * t + N + j
+
+        A_rows = []  # list of (cols array, vals array) per row
+        dyn = np.asarray(self.dyn_coef)
+        for t in range(W - 1):
+            for j in range(N):
+                A_rows.append((
+                    np.array([vcol(t, j), qcol(t + 1, j), qcol(t, j)]),
+                    dyn[t, j],
+                ))
+        pos_c = np.asarray(self.pos_coef)
+        for t in range(W):
+            for j in range(N):
+                A_rows.append((np.array([qcol(t, j)]), pos_c[t, j : j + 1]))
+        vel_c = np.asarray(self.vel_coef)
+        for t in range(W - 1):
+            for j in range(N):
+                A_rows.append((np.array([vcol(t, j)]), vel_c[t, j : j + 1]))
+        acc = np.asarray(self.acc_coef)
+        for t in range(W - 2):
+            for j in range(N):
+                A_rows.append((
+                    np.array([vcol(t + 1, j), vcol(t, j)]), acc[t, j]
+                ))
+        ws_jac = np.asarray(self.ws_jac)
+        obs_jac = np.asarray(self.obs_jac)
+        q_cols = np.arange(N)
+        for b in range(self.n_balls):
+            for t in range(W):
+                if self.gripper_flags[b]:
+                    for a in range(3):
+                        A_rows.append((2 * N * t + q_cols, ws_jac[b, t, a]))
+                for o in range(self.n_obstacles):
+                    A_rows.append((2 * N * t + q_cols, obs_jac[b, o, t]))
+
+        A_indptr = np.zeros(len(A_rows) + 1, np.int32)
+        A_indptr[1:] = np.cumsum([len(c) for c, _ in A_rows])
+        A_indices = np.concatenate([c for c, _ in A_rows]).astype(np.int32)
+        A_data = np.concatenate([v for _, v in A_rows]).astype(np.float64)
+
+        # P CSR from the block-tridiagonal (diag, lower) pair.
+        Pd = np.asarray(self.P_diag)
+        Pl = np.asarray(self.P_lower)
+        B = 2 * N
+        P_rows_cols, P_rows_vals = [], []
+        for t in range(W):
+            for k in range(B):
+                cols, vals = [], []
+                if t > 0:  # P[t, t-1] = P_lower[t-1]
+                    cols.append(2 * N * (t - 1) + np.arange(B))
+                    vals.append(Pl[t - 1, k])
+                cols.append(2 * N * t + np.arange(B))
+                vals.append(Pd[t, k])
+                if t < W - 1:  # P[t, t+1] = P_lower[t].T
+                    cols.append(2 * N * (t + 1) + np.arange(B))
+                    vals.append(Pl[t, :, k])
+                P_rows_cols.append(np.concatenate(cols))
+                P_rows_vals.append(np.concatenate(vals))
+        P_indptr = np.zeros(W * B + 1, np.int32)
+        P_indptr[1:] = np.cumsum([len(c) for c in P_rows_cols])
+        P_indices = np.concatenate(P_rows_cols).astype(np.int32)
+        P_data = np.concatenate(P_rows_vals).astype(np.float64)
+
+        perm = np.asarray(self._perm_to_interleaved())
+        q_int = np.zeros(2 * W * N)
+        q_int[perm] = np.asarray(self.q_vec)
+        return (
+            (P_indptr, P_indices, P_data),
+            q_int,
+            (A_indptr, A_indices, A_data),
+            np.asarray(self.l, np.float64),
+            np.asarray(self.u, np.float64),
+            4 * N - 1,
+            perm,
+        )
+
 
 # --------------------------------------------------------------------------
 # Constructors

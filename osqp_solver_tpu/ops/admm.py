@@ -421,9 +421,15 @@ def polish(base, scaled, scaling: Scaling, st: ADMMState, settings: Settings) ->
     polished iterate is adopted only where it improves both residuals."""
     delta = settings.polish_delta
     # OSQP polish.c active-set guess: a bound is active when the slack is
-    # smaller than the dual magnitude pointing into it.
-    act_low = (st.z - scaled.l) < -st.y
-    act_upp = (scaled.u - st.z) < st.y
+    # smaller than the dual magnitude pointing into it.  polish.c classifies
+    # on UNSCALED data — undo the Ruiz scaling (z_u = E⁻¹z, y_u = c⁻¹Ey)
+    # before the comparison so per-row E²/c factors don't skew the guess.
+    z_u = scaling.Einv * st.z
+    y_u = scaling.cinv * scaling.E * st.y
+    l_u = scaling.Einv * scaled.l
+    u_u = scaling.Einv * scaled.u
+    act_low = (z_u - l_u) < -y_u
+    act_upp = (u_u - z_u) < y_u
     active = act_low | act_upp
     z_target = jnp.where(act_low, scaled.l, jnp.where(act_upp, scaled.u, st.z))
     rho_pol = jnp.where(active, 1.0 / delta, delta)

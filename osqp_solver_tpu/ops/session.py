@@ -97,15 +97,45 @@ def update(
     return session
 
 
-def update_bounds(session: Session, **bound_fields) -> Session:
+def update_bounds(
+    session: Session,
+    guard_reclassification: bool = False,
+    settings: Settings = Settings(),
+    **bound_fields,
+) -> Session:
     """Bounds/q-only update (``SetBounds``, ``osqp-wrapper.h:39-41``): new
     field values on the base QP, factor kept.
 
     Correctness requires the constraint classification (equality / loose)
     not to change — ρ_vec is derived from the bounds and must match the
     cached factor (OSQP refactorizes when a bounds update flips a row's
-    type; use :func:`update` with ``refactor=True`` in that case)."""
-    return update(session, session.base.replace(**bound_fields), refactor=False)
+    type).  With ``guard_reclassification=True`` the classification is
+    compared elementwise and the KKT is refactorized only when a row flipped
+    (a ``lax.cond``; NOTE: under ``vmap`` this lowers to select so the whole
+    batch pays the refactor whenever any problem flips — leave it off on the
+    MPC fast path and keep bound sweeps classification-stable instead)."""
+    old_rho = admm._rho_vec(
+        session.rho_bar, session.scaled.l, session.scaled.u
+    )
+    session = update(
+        session, session.base.replace(**bound_fields), refactor=False
+    )
+    if not guard_reclassification:
+        return session
+    import jax
+
+    new_rho = admm._rho_vec(
+        session.rho_bar, session.scaled.l, session.scaled.u
+    )
+    changed = jnp.any(old_rho != new_rho)
+
+    def refactor(sess):
+        factor = admm.kkt_factor(
+            sess.scaled, new_rho, settings.sigma, settings
+        )
+        return sess.replace(factor=factor)
+
+    return jax.lax.cond(changed, refactor, lambda s: s, session)
 
 
 def solve(

@@ -118,3 +118,94 @@ def solve(
         x=x, y=y, status=int(status), iterations=int(iters.value),
         prim_res=float(pr.value), dual_res=float(dr.value),
     )
+
+
+def _load_sparse():
+    lib = _load()
+    if getattr(lib, "_sparse_bound", False):
+        return lib
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.osqp_oracle_solve_sparse.restype = ctypes.c_int
+    lib.osqp_oracle_solve_sparse.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # n, m, kb
+        ip, ip, dp,  # P CSR
+        dp,  # q
+        ip, ip, dp,  # A CSR
+        dp, dp,  # l u
+        dp, dp, ip, dp, dp,  # x y iters prim dual
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int,
+        dp, dp,
+    ]
+    lib._sparse_bound = True
+    return lib
+
+
+def solve_sparse(
+    P_csr,
+    q,
+    A_csr,
+    l,
+    u,
+    kb: int,
+    max_iter: int = 4000,
+    check_every: int = 25,
+    eps_abs: float = 1e-3,
+    eps_rel: float = 1e-3,
+    eps_prim_inf: float = 1e-4,
+    eps_dual_inf: float = 1e-4,
+    rho: float = 0.1,
+    sigma: float = 1e-6,
+    alpha: float = 1.6,
+    adaptive_rho: bool = True,
+    warm_x: Optional[np.ndarray] = None,
+    warm_y: Optional[np.ndarray] = None,
+) -> OracleResult:
+    """Sparse-A / banded-KKT oracle (qdldl-equivalent cost model) — makes the
+    reference example scale (W=802 ⇒ n=9,624) tractable on CPU.
+
+    ``P_csr``/``A_csr``: ``(indptr, indices, data)`` numpy triples (CSR);
+    ``kb``: KKT half-bandwidth — ``4N-1`` for the interleaved trajectory
+    ordering (see ``TrajectoryQP.to_csr``)."""
+    lib = _load_sparse()
+    Pi, Pj, Pd = (np.ascontiguousarray(a) for a in P_csr)
+    Ai, Aj, Ad = (np.ascontiguousarray(a) for a in A_csr)
+    Pi, Pj = Pi.astype(np.int32), Pj.astype(np.int32)
+    Ai, Aj = Ai.astype(np.int32), Aj.astype(np.int32)
+    Pd = Pd.astype(np.float64)
+    Ad = Ad.astype(np.float64)
+    q = np.ascontiguousarray(q, np.float64)
+    l = np.ascontiguousarray(l, np.float64)
+    u = np.ascontiguousarray(u, np.float64)
+    n, m = q.size, l.size
+    x = np.zeros(n)
+    y = np.zeros(m)
+    iters = ctypes.c_int(0)
+    pr = ctypes.c_double(0)
+    dr = ctypes.c_double(0)
+    dp = ctypes.POINTER(ctypes.c_double)
+    ip = ctypes.POINTER(ctypes.c_int)
+
+    def ptr(a):
+        return a.ctypes.data_as(dp)
+
+    def iptr(a):
+        return a.ctypes.data_as(ip)
+
+    wx = ptr(np.ascontiguousarray(warm_x, np.float64)) if warm_x is not None else None
+    wy = ptr(np.ascontiguousarray(warm_y, np.float64)) if warm_y is not None else None
+    status = lib.osqp_oracle_solve_sparse(
+        n, m, int(kb), iptr(Pi), iptr(Pj), ptr(Pd), ptr(q),
+        iptr(Ai), iptr(Aj), ptr(Ad), ptr(l), ptr(u),
+        ptr(x), ptr(y), ctypes.byref(iters), ctypes.byref(pr), ctypes.byref(dr),
+        max_iter, check_every, eps_abs, eps_rel, eps_prim_inf, eps_dual_inf,
+        rho, sigma, alpha, int(adaptive_rho), wx, wy,
+    )
+    return OracleResult(
+        x=x, y=y, status=int(status), iterations=int(iters.value),
+        prim_res=float(pr.value), dual_res=float(dr.value),
+    )

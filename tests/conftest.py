@@ -20,5 +20,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+# OSQP_TPU_TESTS=1 leaves the ambient platform (the tunneled TPU) in place so
+# hardware-marked tests (e.g. test_pallas_tridiag.py::test_*_on_hardware)
+# exercise the native kernel path:
+#   OSQP_TPU_TESTS=1 python -m pytest tests/test_pallas_tridiag.py -q
+if not os.environ.get("OSQP_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

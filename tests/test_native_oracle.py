@@ -48,6 +48,75 @@ def test_infeasible_agree():
     assert res_c.status == ExitCode.kPrimalInfeasible
 
 
+def _small_trajectory_qp():
+    import jax.numpy as jnp
+
+    from osqp_solver_tpu.gomp.trajectory_qp import (
+        empty_trajectory_qp,
+        linearize_workspace,
+        with_gomp_boxes,
+    )
+    from osqp_solver_tpu.models.robot import RobotBall
+
+    W, N = 8, 2
+    qp = empty_trajectory_qp(W, N, gripper_flags=(True,), n_obstacles=0)
+    qp = with_gomp_boxes(
+        qp,
+        jnp.zeros(N),
+        jnp.ones(N),
+        (jnp.full(N, -5.0), jnp.full(N, 5.0)),
+        (jnp.full(N, -1.0), jnp.full(N, 1.0)),
+        (jnp.full(N, -2.0), jnp.full(N, 2.0)),
+    )
+    ball = RobotBall(
+        fk=lambda s: jnp.array([s[0], s[1], s[0] + s[1]]),
+        jacobian=lambda s: jnp.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]),
+        radius=0.05,
+        is_gripper=True,
+    )
+    warm = jnp.concatenate([jnp.linspace(0, 1, W * N), jnp.zeros(W * N)])
+    con3d = (jnp.full(3, -4.0), jnp.full(3, 4.0))
+    return linearize_workspace(qp, [ball], [], con3d, warm)
+
+
+def test_sparse_csr_matches_dense():
+    """to_csr() reproduces to_dense() exactly (modulo the interleaving
+    permutation)."""
+    qp = _small_trajectory_qp()
+    P, q, A, l, u = (np.asarray(a) for a in qp.to_dense())
+    (Pi, Pj, Pd), q_int, (Ai, Aj, Ad), l_s, u_s, kb, perm = qp.to_csr()
+
+    def densify(indptr, indices, data, cols):
+        M = np.zeros((len(indptr) - 1, cols))
+        for r in range(len(indptr) - 1):
+            for p in range(indptr[r], indptr[r + 1]):
+                M[r, indices[p]] += data[p]
+        return M
+
+    n = q.size
+    A_int = densify(Ai, Aj, Ad, n)
+    P_int = densify(Pi, Pj, Pd, n)
+    np.testing.assert_allclose(A_int[:, perm], A, atol=1e-12)
+    np.testing.assert_allclose(P_int[np.ix_(perm, perm)], P, atol=1e-12)
+    np.testing.assert_allclose(q_int[perm], q, atol=1e-12)
+    np.testing.assert_allclose(l_s, l, atol=1e-12)
+    np.testing.assert_allclose(u_s, u, atol=1e-12)
+
+
+def test_sparse_oracle_matches_jax_on_trajectory():
+    """Banded-KKT sparse oracle agrees with the JAX core on a structured
+    trajectory QP (the W=802 CPU-anchor path, benchmarks/cpu_anchor.py)."""
+    qp = _small_trajectory_qp()
+    P_csr, q_int, A_csr, l, u, kb, perm = qp.to_csr()
+    res_c = oracle.solve_sparse(P_csr, q_int, A_csr, l, u, kb)
+    assert res_c.status == ExitCode.kOptimal
+    res_jax = admm.solve(qp)
+    assert int(res_jax.status) == ExitCode.kOptimal
+    np.testing.assert_allclose(
+        res_c.x[perm], np.asarray(res_jax.x), atol=5e-2
+    )
+
+
 def test_oracle_residuals_meet_tolerance():
     qp = random_qp(jax.random.PRNGKey(5), n=12, m=20)
     res = oracle.solve(

@@ -89,6 +89,41 @@ def test_factor_kernel_matches_scan(W, B2, BATCH):
         )
 
 
+@pytest.mark.skipif(
+    jax.default_backend() != "tpu",
+    reason="hardware DMA-pipeline parity; run with OSQP_TPU_TESTS=1 on a TPU",
+)
+def test_kernels_on_hardware():
+    """Compiled-kernel (not interpret-mode) parity vs. the scan solver on a
+    real TPU: covers the DMA double-buffering / semaphore scheduling that
+    interpreter mode cannot exercise (ADVICE r1: a pipelining regression was
+    previously only caught by ad-hoc benchmark runs)."""
+    W, B2, BATCH = 40, 12, 256
+    keys = jax.random.split(jax.random.PRNGKey(11), BATCH)
+    diags, lowers = jax.vmap(lambda k: random_spd_tridiag(k, W, B2))(keys)
+    diags = diags.astype(jnp.float32)
+    lowers = lowers.astype(jnp.float32)
+    rhs = jax.random.normal(jax.random.PRNGKey(12), (BATCH, W, B2), jnp.float32)
+
+    factors = jax.vmap(block_tridiag_factor)(diags, lowers)
+    expected = jax.vmap(block_tridiag_solve)(factors, rhs)
+
+    from osqp_solver_tpu.ops.pallas_tridiag import factor_lane_major
+
+    chol_lm, gain_lm = factor_lane_major(
+        to_lane_major(diags), to_lane_major(lowers), interpret=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(from_lane_major(chol_lm)), np.asarray(factors.chol),
+        rtol=3e-4, atol=3e-4,
+    )
+    out = solve_lane_major(chol_lm, gain_lm, to_lane_major(rhs), interpret=False)
+    np.testing.assert_allclose(
+        np.asarray(from_lane_major(out)), np.asarray(expected),
+        rtol=5e-4, atol=5e-4,
+    )
+
+
 def test_factor_then_solve_round_trip():
     """factor kernel + solve kernel solve the original system."""
     from osqp_solver_tpu.ops.pallas_tridiag import factor_lane_major
