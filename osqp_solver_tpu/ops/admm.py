@@ -126,6 +126,38 @@ def _inf_norm(v):
     return jnp.max(jnp.abs(v)) if v.shape[-1] else jnp.zeros(())
 
 
+# --- collective-aware reductions -------------------------------------------
+# A QP container living inside ``shard_map`` (e.g. the horizon-sharded
+# ``parallel.banded.ShardedBandedQP``) exposes ``collective_axis``; all
+# scalar reductions in the solver then combine across the mesh axis so every
+# device sees identical residuals/certificates/decisions.  Payload: O(1)
+# scalars per termination check.
+
+
+def _qp_axis(qp):
+    return getattr(qp, "collective_axis", None)
+
+
+def _g_inf_norm(qp, v):
+    r = _inf_norm(v)
+    ax = _qp_axis(qp)
+    return jax.lax.pmax(r, ax) if ax else r
+
+
+def _g_sum(qp, v):
+    s = jnp.sum(v) if v.shape[-1] else jnp.zeros(())
+    ax = _qp_axis(qp)
+    return jax.lax.psum(s, ax) if ax else s
+
+
+def _g_all(qp, b):
+    """Global AND of a traced bool scalar."""
+    ax = _qp_axis(qp)
+    if not ax:
+        return b
+    return jax.lax.psum(jnp.where(b, 0, 1), ax) == 0
+
+
 def kkt_factor(qp, rho_vec, sigma, settings: Settings):
     """Backend-dispatching KKT "factorization": direct Cholesky, or the
     (ρ, σ) snapshot for the matrix-free CG backend."""
@@ -199,12 +231,16 @@ def _termination(base, scaled, scaling: Scaling, st: ADMMState, settings: Settin
     Px = scaled.P_matvec(st.x)
     ATy = scaled.AT_matvec(st.y)
 
-    prim_res = _inf_norm(Einv * (Ax - st.z))
-    dual_res = cinv * _inf_norm(Dinv * (Px + scaled.q + ATy))
-    prim_norm = jnp.maximum(_inf_norm(Einv * Ax), _inf_norm(Einv * st.z))
+    prim_res = _g_inf_norm(scaled, Einv * (Ax - st.z))
+    dual_res = cinv * _g_inf_norm(scaled, Dinv * (Px + scaled.q + ATy))
+    prim_norm = jnp.maximum(
+        _g_inf_norm(scaled, Einv * Ax), _g_inf_norm(scaled, Einv * st.z)
+    )
     dual_norm = cinv * jnp.maximum(
-        jnp.maximum(_inf_norm(Dinv * Px), _inf_norm(Dinv * ATy)),
-        _inf_norm(Dinv * scaled.q),
+        jnp.maximum(
+            _g_inf_norm(scaled, Dinv * Px), _g_inf_norm(scaled, Dinv * ATy)
+        ),
+        _g_inf_norm(scaled, Dinv * scaled.q),
     )
 
     eps_prim = settings.eps_abs + settings.eps_rel * prim_norm
@@ -219,8 +255,8 @@ def _termination(base, scaled, scaling: Scaling, st: ADMMState, settings: Settin
     # --- infeasibility certificates on unscaled deltas ----------------------
     dy_u = cinv * scaling.E * st.dy
     dx_u = scaling.D * st.dx
-    norm_dy = _inf_norm(dy_u)
-    norm_dx = _inf_norm(dx_u)
+    norm_dy = _g_inf_norm(base, dy_u)
+    norm_dx = _g_inf_norm(base, dx_u)
 
     loose_u = base.u >= INF_THRESHOLD
     loose_l = base.l <= -INF_THRESHOLD
@@ -231,20 +267,22 @@ def _termination(base, scaled, scaling: Scaling, st: ADMMState, settings: Settin
     At_dy = base.AT_matvec(dy_u)
     dy_pos = jnp.maximum(dy_u, 0.0)
     dy_neg = jnp.minimum(dy_u, 0.0)
-    support = jnp.sum(
+    support = _g_sum(
+        base,
         jnp.where(loose_u, 0.0, base.u * dy_pos)
-        + jnp.where(loose_l, 0.0, base.l * dy_neg)
+        + jnp.where(loose_l, 0.0, base.l * dy_neg),
     ) if m else jnp.zeros(())
-    inf_dir_ok = (
+    inf_dir_ok = _g_all(
+        base,
         jnp.all(jnp.where(loose_u, dy_pos <= eps_p, True))
-        & jnp.all(jnp.where(loose_l, -dy_neg <= eps_p, True))
+        & jnp.all(jnp.where(loose_l, -dy_neg <= eps_p, True)),
     ) if m else jnp.array(False)
     # OSQP guards the certificate with an *absolute* δy-magnitude threshold
     # (is_primal_infeasible): near convergence δy is numerical noise that can
     # wander in null(Aᵀ) and must not trigger a spurious certificate.
     prim_inf = (
         (norm_dy > settings.eps_prim_inf)
-        & (_inf_norm(At_dy) <= eps_p)
+        & (_g_inf_norm(base, At_dy) <= eps_p)
         & (support <= -eps_p)
         & inf_dir_ok
     )
@@ -253,20 +291,21 @@ def _termination(base, scaled, scaling: Scaling, st: ADMMState, settings: Settin
     eps_d = settings.eps_dual_inf * norm_dx
     P_dx = base.P_matvec(dx_u)
     A_dx = base.A_matvec(dx_u)
-    cone_ok = (
-        jnp.all(loose_u | (A_dx <= eps_d)) & jnp.all(loose_l | (A_dx >= -eps_d))
+    cone_ok = _g_all(
+        base,
+        jnp.all(loose_u | (A_dx <= eps_d)) & jnp.all(loose_l | (A_dx >= -eps_d)),
     ) if m else jnp.array(True)
     dual_inf = (
         (norm_dx > settings.eps_dual_inf)
-        & (_inf_norm(P_dx) <= eps_d)
-        & (jnp.dot(base.q, dx_u) <= -eps_d)
+        & (_g_inf_norm(base, P_dx) <= eps_d)
+        & (_g_sum(base, base.q * dx_u) <= -eps_d)
         & cone_ok
     )
 
     # Failure detection (SURVEY.md §5): a diverged/NaN iterate marks the
     # problem kNonConvex (the practical analogue of OSQP's non-convexity
     # abort) instead of raising — batched siblings keep solving.
-    blew_up = ~jnp.isfinite(jnp.sum(st.x) + jnp.sum(st.y))
+    blew_up = ~jnp.isfinite(_g_sum(base, st.x) + _g_sum(base, st.y))
 
     at_max = st.iterations >= settings.max_iter
     new_status = jnp.where(
@@ -449,9 +488,10 @@ def polish(base, scaled, scaling: Scaling, st: ADMMState, settings: Settings) ->
     z = jnp.where(active, z_target, Ax)
 
     # Unscaled residuals of the polished iterate.
-    prim = _inf_norm(scaling.Einv * (Ax - z))
-    dual = scaling.cinv * _inf_norm(
-        scaling.Dinv * (scaled.P_matvec(x) + scaled.q + scaled.AT_matvec(y))
+    prim = _g_inf_norm(scaled, scaling.Einv * (Ax - z))
+    dual = scaling.cinv * _g_inf_norm(
+        scaled,
+        scaling.Dinv * (scaled.P_matvec(x) + scaled.q + scaled.AT_matvec(y)),
     )
     better = (prim <= st.prim_res) & (dual <= st.dual_res) & (
         st.status == ExitCode.kOptimal
@@ -498,7 +538,7 @@ def finalize(base, scaling: Scaling, st: ADMMState) -> SolveResult:
     status = jnp.where(
         st.done, st.status, jnp.full_like(st.status, ExitCode.kMaxIterations)
     )
-    obj = 0.5 * jnp.dot(x, base.P_matvec(x)) + jnp.dot(base.q, x)
+    obj = 0.5 * _g_sum(base, x * base.P_matvec(x)) + _g_sum(base, base.q * x)
     return SolveResult(
         x=x,
         y=y,

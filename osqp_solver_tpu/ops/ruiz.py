@@ -50,12 +50,36 @@ def ruiz_equilibrate(qp, iters: int = 10):
     ``[[P, Aᵀ], [A, 0]]`` give ``δ = 1/sqrt(norm)`` updates for D and E, then
     the cost is normalized by ``γ = 1/max(mean(colnorm(P)), ‖q‖∞)``.
     """
+    import jax
+
     dtype = qp.q.dtype
     n = qp.q.shape[-1]
     m = qp.l.shape[-1]
     D = jnp.ones(n, dtype)
     E = jnp.ones(m, dtype)
     c = jnp.ones((), dtype)
+
+    # Collective-aware scalar reductions for horizon-sharded containers
+    # (parallel.banded.ShardedBandedQP): per-row/col norms stay local (the
+    # container's absmax methods handle halos); only the cost-normalization
+    # scalars reduce globally, with padded state slots masked out of the mean.
+    axis = getattr(qp, "collective_axis", None)
+    mask = getattr(qp, "n_valid_mask", None) if axis else None
+
+    def g_mean(v):
+        if mask is not None:
+            s = jnp.sum(jnp.where(mask, v, 0.0))
+            cnt = jnp.sum(mask.astype(v.dtype))
+        else:
+            s, cnt = jnp.sum(v), jnp.asarray(v.size, v.dtype)
+        if axis:
+            s = jax.lax.psum(s, axis)
+            cnt = jax.lax.psum(cnt, axis)
+        return s / cnt
+
+    def g_absmax(v):
+        r = jnp.max(jnp.abs(v))
+        return jax.lax.pmax(r, axis) if axis else r
 
     scaled = qp
     for _ in range(iters):
@@ -71,7 +95,7 @@ def ruiz_equilibrate(qp, iters: int = 10):
         # Cost normalization (OSQP scaling.c: gamma on mean P colnorm vs ‖q‖∞).
         p_cols = _limit(scaled.P_col_absmax())
         gamma = 1.0 / _limit(
-            jnp.maximum(jnp.mean(p_cols), jnp.max(jnp.abs(scaled.q)))
+            jnp.maximum(g_mean(p_cols), g_absmax(scaled.q))
         )
         c = c * gamma
         scaled = qp.scale_data(D, E, c)

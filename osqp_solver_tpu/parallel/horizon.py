@@ -52,102 +52,21 @@ def as_chunked(qp: TrajectoryQP, n_chunks: int) -> ChunkedTrajectoryQP:
 
 
 # ---------------------------------------------------------------------------
-# Fully distributed ADMM: KKT factor/solve sharded over the mesh horizon axis
+# Fully distributed ADMM: state, data, and KKT sharded over the horizon axis
 # ---------------------------------------------------------------------------
 
 import jax  # noqa: E402
-from jax.sharding import Mesh, PartitionSpec as P  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
 
 from ..ops import admm as admm_mod  # noqa: E402
-from ..ops.tridiag import block_tridiag_factor, block_tridiag_solve  # noqa: E402
-from .mesh import HORIZON_AXIS  # noqa: E402
-from .schur import (  # noqa: E402
-    _chunk_factor,
-    merge_solution,
-    partition_blocks,
-    partition_rhs,
+from .banded import (  # noqa: E402
+    banded_from_trajectory,
+    deinterleave_state,
+    interleave_state,
+    solve_banded_sharded,
 )
-
-
-@struct.dataclass
-class HorizonShardedTrajectoryQP(TrajectoryQP):
-    """TrajectoryQP whose KKT factor/solve runs *inside* ``shard_map`` over a
-    mesh horizon axis: each device factors its own chunk interior and does
-    its own substitutions; only the tiny separator system is exchanged
-    (one ``all_gather`` per factor and two per solve).
-
-    The problem data itself is replicated (vectors are O(W·N) — small even
-    at 10k waypoints); what is distributed is the O(W·(2N)³) factor/solve
-    *compute*, which dominates long-horizon ADMM (BASELINE config 5).
-
-    Must be used inside ``shard_map`` (see :func:`solve_horizon_sharded`).
-    """
-
-    n_chunks: int = struct.field(pytree_node=False, default=2)
-    axis: str = struct.field(pytree_node=False, default=HORIZON_AXIS)
-
-    def kkt_factor(self, rho_vec, sigma):
-        K = self.n_chunks
-        diag, lower = self.kkt_blocks(rho_vec, sigma)
-        ch = partition_blocks(diag, lower, K)
-        k = jax.lax.axis_index(self.axis)
-        Di = ch.Di[k]
-        Li = ch.Li[k]
-        Lleft = ch.Lleft[k]
-        Lright = ch.Lright[k]
-        interior, U, V, C_right, C_left, C_off = _chunk_factor(
-            Di, Li, Lleft, Lright
-        )
-        gather = lambda v: jax.lax.all_gather(v, self.axis)
-        C_right_all = gather(C_right)
-        C_left_all = gather(C_left)
-        C_off_all = gather(C_off)
-        Sdiag = ch.sepD[: K - 1] - C_right_all[: K - 1] - C_left_all[1:K]
-        Slower = -jnp.swapaxes(C_off_all[1 : K - 1], -1, -2)
-        reduced = block_tridiag_factor(Sdiag, Slower)
-        return dict(
-            interior=interior, U=U, V=V, Lleft=Lleft, Lright=Lright,
-            reduced=reduced, k=k,
-        )
-
-    def kkt_solve(self, f, rhs):
-        K = self.n_chunks
-        s = self._interleave(rhs)
-        bi, bs = partition_rhs(s, K)
-        k = f["k"]
-        w = block_tridiag_solve(f["interior"], bi[k])  # (Wl, B) local
-        r_right = f["Lleft"] @ w[-1]
-        r_left = f["Lright"].T @ w[0]
-        gather = lambda v: jax.lax.all_gather(v, self.axis)
-        r_right_all = gather(r_right)
-        r_left_all = gather(r_left)
-        rS = bs[: K - 1] - r_right_all[: K - 1] - r_left_all[1:K]
-        xs = block_tridiag_solve(f["reduced"], rS)  # replicated tiny solve
-
-        B = w.shape[-1]
-        zero = jnp.zeros((B,), w.dtype)
-        x_right = jnp.where(k < K - 1, xs[jnp.minimum(k, K - 2)], zero)
-        x_left = jnp.where(k > 0, xs[jnp.maximum(k - 1, 0)], zero)
-        xi = (
-            w
-            - jnp.einsum("wbr,r->wb", f["U"], x_right)
-            - jnp.einsum("wbr,r->wb", f["V"], x_left)
-        )
-        xi_all = gather(xi)  # (K, Wl, B) — full interior, replicated
-        full = merge_solution(xi_all, xs, s.shape[0])
-        return self._deinterleave(full)
-
-
-def as_horizon_sharded(
-    qp: TrajectoryQP, n_chunks: int, axis: str = HORIZON_AXIS
-) -> HorizonShardedTrajectoryQP:
-    fields = {
-        name: getattr(qp, name)
-        for name in TrajectoryQP.__dataclass_fields__  # noqa: SLF001
-    }
-    return HorizonShardedTrajectoryQP(
-        n_chunks=int(n_chunks), axis=axis, **fields
-    )
+from .mesh import HORIZON_AXIS  # noqa: E402
 
 
 def solve_horizon_sharded(
@@ -158,27 +77,30 @@ def solve_horizon_sharded(
     axis: str = HORIZON_AXIS,
 ) -> admm_mod.SolveResult:
     """Run the full OSQP-semantics ADMM for ONE long-horizon trajectory QP
-    with the KKT factor/solve distributed over ``mesh[axis]``.
+    with *everything* — vector state, problem data, KKT factor/solve —
+    sharded over ``mesh[axis]`` (the separator-only redesign, VERDICT r1
+    next #3; implementation in :mod:`osqp_solver_tpu.parallel.banded`).
 
-    Every device carries the (small) replicated vector state and 1/K of the
-    factorization/substitution work; per ADMM iteration the only
-    communication is the separator exchange (a few ``(K, 2N)``-sized
-    ``all_gather``s over ICI).  This is the SURVEY.md §5 "sequence parallel"
-    configuration run end-to-end, not just the linear solve.
+    Per ADMM iteration each device exchanges one ``(2N,)`` halo with each
+    neighbour (``ppermute``) and ``(K, 2N)`` separator right-hand sides
+    (``all_gather``); residual norms reduce as scalars.  No collective
+    payload scales with the horizon length (pinned by
+    ``tests/test_banded.py::test_sharded_communication_is_separator_only``).
+
+    Accepts/returns the reference ``[q..., v...]`` layout; duals map back
+    through the banded row permutation.
     """
-    K = mesh.shape[axis]
-    sq = as_horizon_sharded(qp, K, axis)
-    if warm_x is None:
-        warm_x = jnp.zeros(sq.n, sq.q.dtype)
-
-    def device_fn(sq_rep, warm):
-        return admm_mod.solve(sq_rep, settings, warm_x=warm)
-
-    fn = jax.shard_map(
-        device_fn,
-        mesh=mesh,
-        in_specs=(P(), P()),
-        out_specs=P(),
-        check_vma=False,
+    W, N = qp.waypoints, qp.n_dim
+    banded, row_map = banded_from_trajectory(qp)
+    warm_int = (
+        interleave_state(jnp.asarray(warm_x, banded.q_wb.dtype), W, N)
+        if warm_x is not None
+        else None
     )
-    return jax.jit(fn)(sq, jnp.asarray(warm_x, sq.q.dtype))
+    res = solve_banded_sharded(banded, mesh, settings, warm_x=warm_int, axis=axis)
+    rm = jnp.asarray(np.asarray(row_map))
+    return res.replace(
+        x=deinterleave_state(res.x, W, N),
+        y=res.y[rm],
+        z=res.z[rm],
+    )
