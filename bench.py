@@ -126,7 +126,7 @@ def main():
     def measure(qps, label, reps=10):
         @jax.jit
         def solve_all(qps):
-            res = jax.vmap(lambda qp: admm.solve(qp, settings))(qps)
+            res = admm.solve_batched(qps, settings)
             return res.x, res.status, res.iterations, res.prim_res, res.dual_res
 
         t0 = time.time()

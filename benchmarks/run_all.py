@@ -118,9 +118,7 @@ def main():
 
     B2 = 256 if args.quick else 1024
     qps2 = jax.vmap(rand_qp)(jax.random.split(jax.random.PRNGKey(0), B2))
-    f2 = jax.jit(
-        lambda qps: jax.vmap(lambda qp: admm.solve(qp, settings))(qps)
-    )
+    f2 = jax.jit(lambda qps: admm.solve_batched(qps, settings))
     r = f2(qps2)
     n_opt = int(np.sum(np.asarray(r.status) == 0))
     t0 = time.time()
@@ -141,9 +139,7 @@ def main():
 
     B3 = 128 if args.quick else 256
     qps3 = build_honest_batch(B3, 100, 6, dtype)
-    f3 = jax.jit(
-        lambda qps: jax.vmap(lambda qp: admm.solve(qp, settings))(qps)
-    )
+    f3 = jax.jit(lambda qps: admm.solve_batched(qps, settings))
     r = f3(qps3)
     n_opt3 = int(np.sum(np.asarray(r.status) == 0))
     t0 = time.time()

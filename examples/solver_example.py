@@ -7,7 +7,7 @@ FK-mapped XYZ path to ``output_trajectory_ctrl.data`` /
 ``output_trajectory_xyz.data`` (same file formats, ``solver-example.cpp:73-81``)
 and prints the start/mid/end FK summary (``:83-95``).
 
-Usage:  python examples/solver_example.py [--waypoints 802] [--cpu]
+Usage:  python examples/solver_example.py [--waypoints 802] [--cpu] [--mode padded|exact]
 """
 from __future__ import annotations
 
@@ -35,6 +35,14 @@ def main() -> int:
         "(solver-example.cpp:48-51)",
     )
     ap.add_argument("--f32", action="store_true", help="solve in float32")
+    ap.add_argument(
+        "--mode",
+        choices=("padded", "exact"),
+        default="padded",
+        help="padded: ONE compiled program for the whole time-scaling loop "
+        "(pad-to-max, TPU-friendly); exact: one program per horizon length "
+        "(reference-shaped)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -93,7 +101,8 @@ def main() -> int:
     end = np.array([np.pi, 0, 0, 0, 0, 0.0])  # :70
 
     t0 = time.time()
-    res = solver.run(start, end)
+    run = solver.run_padded if args.mode == "padded" else solver.run
+    res = run(start, end)
     wall = time.time() - t0
 
     traj = res.trajectory

@@ -22,6 +22,7 @@ import numpy as np
 
 from ..models.robot import RobotBall
 from ..ops import session as ops_session
+from ..ops import admm as admm_mod
 from ..ops.admm import Settings
 from ..ops.status import ExitCode
 from .constraints import Constraint, scaled
@@ -103,7 +104,9 @@ class GOMPSolver:
             jnp.asarray(self.con_3d.lower, self.dtype),
             jnp.asarray(self.con_3d.upper, self.dtype),
         )
-        settings = self.settings
+        # Long-horizon f32 conditioning: engage iterative refinement
+        # automatically (admm.refine_steps_for_horizon policy).
+        settings = admm_mod.with_auto_refine(self.settings, W, self.dtype)
 
         def build_qp(start, end, warm):
             qp = empty_trajectory_qp(
@@ -203,6 +206,178 @@ class GOMPSolver:
             SegmentStats(waypoints, self.max_scp_iterations, total_admm, -1),
         )
 
+    # ------------------------------------------------------------- padded
+
+    def _padded_programs(self):
+        """ONE jitted (setup, step) pair at ``W_max`` with the active horizon
+        length a *traced* argument — the whole 10-segment time-scaling loop
+        (``gomp-solver.h:38-55``) runs with zero per-horizon recompiles
+        (VERDICT r1 next #8; pad-to-max discipline in
+        ``trajectory_qp.with_horizon_mask``)."""
+        key = ("padded",)
+        if key in self._compiled:
+            return self._compiled[key]
+        from .trajectory_qp import with_gomp_boxes_masked, with_horizon_mask
+
+        W, N = self.max_waypoints, self.n_dim
+        balls, obstacles = self.balls, self.obstacles
+        con3d = (
+            jnp.asarray(self.con_3d.lower, self.dtype),
+            jnp.asarray(self.con_3d.upper, self.dtype),
+        )
+        boxes = tuple(
+            (jnp.asarray(c.lower, self.dtype), jnp.asarray(c.upper, self.dtype))
+            for c in (self.pos_con, self.vel_con, self.acc_con)
+        )
+        settings = admm_mod.with_auto_refine(self.settings, W, self.dtype)
+
+        def build_qp(start, end, warm, wa):
+            qp = empty_trajectory_qp(
+                W, N, [b.is_gripper for b in balls], len(obstacles), self.dtype
+            )
+            qp = with_horizon_mask(qp, wa)
+            qp = with_gomp_boxes_masked(qp, start, end, *boxes, wa)
+            return linearize_workspace(
+                qp, balls, obstacles, con3d, warm, w_active=wa
+            )
+
+        def is_solution_ok(x, wa):
+            act = jnp.arange(W) < wa
+            q = x[: W * N].reshape(W, N)
+            ok = jnp.array(True)
+            for ball in balls:
+                pts = jax.vmap(lambda s: jnp.asarray(ball.fk(s), self.dtype))(q)
+                r = ball.radius
+                if ball.is_gripper:
+                    low = con3d[0][None, :]
+                    upp = con3d[1][None, :]
+                    ok &= jnp.all(
+                        jnp.where(act[:, None], low - ERROR <= pts - r, True)
+                    )
+                    ok &= jnp.all(
+                        jnp.where(act[:, None], pts + r <= upp + ERROR, True)
+                    )
+                for line in obstacles:
+                    coll = line.has_collision(pts, r)
+                    above = line.is_above(pts, r)
+                    ok &= jnp.all(jnp.where(act, ~coll | above, True))
+            return ok
+
+        @jax.jit
+        def setup_fn(start, end, warm, wa):
+            qp = build_qp(start, end, warm, wa)
+            return ops_session.setup(qp, settings, warm_x=warm)
+
+        @jax.jit
+        def step_fn(sess, wa):
+            sess, res = ops_session.solve(sess, settings)
+            ok = is_solution_ok(res.x, wa)
+            new_qp = linearize_workspace(
+                sess.base, balls, obstacles, con3d, res.x, w_active=wa
+            )
+            sess = ops_session.update(sess, new_qp, settings=settings)
+            return sess, res.x, res.status, ok, res.iterations
+
+        self._compiled[key] = (setup_fn, step_fn)
+        return self._compiled[key]
+
+    def run_horizon_padded(
+        self, start, end, w_active: int, warm_start
+    ) -> Tuple[ExitCode, jnp.ndarray, SegmentStats]:
+        """One SCP solve at a traced horizon inside the W_max program.
+        ``warm_start`` is in padded reference layout (2·W_max·N,)."""
+        assert 4 <= w_active <= self.max_waypoints
+        setup_fn, step_fn = self._padded_programs()
+        start = jnp.asarray(start, self.dtype)
+        end = jnp.asarray(end, self.dtype)
+        warm = jnp.asarray(warm_start, self.dtype)
+        wa = jnp.asarray(w_active, jnp.int32)
+        sess = setup_fn(start, end, warm, wa)
+
+        last_solution = warm
+        total_admm = 0
+        for i in range(self.max_scp_iterations):
+            sess, x, status, ok, iters = step_fn(sess, wa)
+            status = int(status)
+            total_admm += int(iters)
+            last_solution = x
+            if status not in (
+                int(ExitCode.kOptimal), int(ExitCode.kOptimalInaccurate)
+            ):
+                return (
+                    ExitCode.kUnknown,
+                    last_solution,
+                    SegmentStats(w_active, i + 1, total_admm, status),
+                )
+            if bool(ok):
+                return (
+                    ExitCode.kOptimal
+                    if status == int(ExitCode.kOptimal)
+                    else ExitCode.kOptimalInaccurate,
+                    last_solution,
+                    SegmentStats(w_active, i + 1, total_admm, status),
+                )
+        return (
+            ExitCode.kUnknown,
+            last_solution,
+            SegmentStats(w_active, self.max_scp_iterations, total_admm, -1),
+        )
+
+    def _slice_warm_padded(self, sol_padded, w_prev: int, w_new: int):
+        """The reference's warm-start slicing quirk (``gomp-solver.h:43-44``)
+        applied in padded layout: slice the first two ``w_new·N`` windows of
+        the previous COMPACT solution (when the previous horizon was longer
+        the second window is leftover positions), then re-pad."""
+        W, N = self.max_waypoints, self.n_dim
+        sol = np.asarray(sol_padded)
+        q, v = sol[: W * N], sol[W * N :]
+        compact = np.concatenate([q[: w_prev * N], v[: w_prev * N]])
+        wn = w_new * N
+        out_q = np.zeros(W * N, sol.dtype)
+        out_v = np.zeros(W * N, sol.dtype)
+        out_q[:wn] = compact[:wn]
+        out_v[:wn] = compact[wn : 2 * wn]
+        return np.concatenate([out_q, out_v])
+
+    def run_padded(self, start_pos, end_pos) -> PlanResult:
+        """Time-scaling outer loop with the pad-to-max single program: same
+        semantics as :meth:`run` (including warm-start slicing quirks), but
+        every segment reuses ONE compiled (setup, step) pair, so wall-clock
+        is dominated by solving, not per-horizon compiles."""
+        W, N = self.max_waypoints, self.n_dim
+        start = jnp.asarray(start_pos, self.dtype)
+        end = jnp.asarray(end_pos, self.dtype)
+        from .trajectory import calc_warm_start_masked
+
+        last_code = ExitCode.kUnknown
+        last_solution = np.asarray(calc_warm_start_masked(start, end, W, W))
+        last_w = W
+        stats: List[SegmentStats] = []
+
+        for i in range(self.segments, 0, -1):
+            waypoints = self.max_waypoints * i // self.segments
+            if waypoints < 4:
+                break
+            warm = self._slice_warm_padded(last_solution, last_w, waypoints)
+            code, solution, seg_stats = self.run_horizon_padded(
+                start, end, waypoints, warm
+            )
+            stats.append(seg_stats)
+            if code not in (ExitCode.kOptimal, ExitCode.kUnknown):
+                break
+            if code == ExitCode.kOptimal:
+                last_code = ExitCode.kOptimal
+                last_solution = np.asarray(solution)
+                last_w = waypoints
+
+        # Compact the padded solution to the winning horizon's layout and
+        # unscale velocities (gomp-solver.h:53).
+        sol = np.asarray(last_solution)
+        q, v = sol[: W * N], sol[W * N :]
+        out = np.concatenate([q[: last_w * N], v[: last_w * N]])
+        out[last_w * N :] /= self.time_step
+        return PlanResult(status=last_code, trajectory=out, stats=stats)
+
     # ---------------------------------------------------------------- outer
 
     def run(self, start_pos, end_pos) -> PlanResult:
@@ -262,14 +437,14 @@ class GOMPSolver:
             jnp.asarray(self.con_3d.lower, self.dtype),
             jnp.asarray(self.con_3d.upper, self.dtype),
         )
-        settings = self.settings
+        settings = admm_mod.with_auto_refine(self.settings, W, self.dtype)
 
         starts = jnp.asarray(starts, self.dtype)
         ends = jnp.asarray(ends, self.dtype)
 
         def plan_one(start, end):
             warm = calc_warm_start_jnp(start, end, W)
-            sess = self._build_session(start, end, warm, W)
+            sess = self._build_session(start, end, warm, W, settings)
 
             def cond(carry):
                 sess, x, status, ok, k = carry
@@ -310,8 +485,10 @@ class GOMPSolver:
             self._compiled[key] = jax.jit(jax.vmap(plan_one))
         return self._compiled[key](starts, ends)
 
-    def _build_session(self, start, end, warm, W):
+    def _build_session(self, start, end, warm, W, settings=None):
         """Traceable session construction for one problem at horizon W."""
+        if settings is None:
+            settings = admm_mod.with_auto_refine(self.settings, W, self.dtype)
         N = self.n_dim
         qp = empty_trajectory_qp(
             W, N, [b.is_gripper for b in self.balls], len(self.obstacles), self.dtype
@@ -329,7 +506,7 @@ class GOMPSolver:
             jnp.asarray(self.con_3d.upper, self.dtype),
         )
         qp = linearize_workspace(qp, self.balls, self.obstacles, con3d, warm)
-        return ops_session.setup(qp, self.settings, warm_x=warm)
+        return ops_session.setup(qp, settings, warm_x=warm)
 
     def _is_solution_ok_fn(self, W):
         N = self.n_dim

@@ -74,3 +74,17 @@ def map_joint_trajectory_to_xyz(trajectory, fk, n_dim: int):
     waypoints = traj.shape[-1] // (2 * n_dim)
     q = traj[..., : waypoints * n_dim].reshape(*traj.shape[:-1], waypoints, n_dim)
     return jax.vmap(fk)(q.reshape(-1, n_dim)).reshape(*traj.shape[:-1], waypoints, 3)
+
+
+def calc_warm_start_masked(start_pos, end_pos, w_max: int, w_active):
+    """Pad-to-max warm start: linspace over the first ``w_active`` waypoints
+    (traced scalar), clamped at the end configuration beyond — the padded
+    equivalent of ``calcWarmStart`` (``gomp-solver.h:105-116``)."""
+    a = jnp.asarray(start_pos)
+    b = jnp.asarray(end_pos)
+    wa = jnp.asarray(w_active, jnp.int32)
+    t = jnp.arange(w_max, dtype=a.dtype)
+    denom = jnp.maximum(wa - 1, 1).astype(a.dtype)
+    frac = jnp.minimum(t, wa.astype(a.dtype) - 1) / denom
+    positions = (a[None, :] + frac[:, None] * (b - a)[None, :]).reshape(-1)
+    return jnp.concatenate([positions, jnp.zeros_like(positions)])

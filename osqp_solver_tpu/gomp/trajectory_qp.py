@@ -625,12 +625,112 @@ def with_gomp_boxes(
     )
 
 
+def with_horizon_mask(qp: TrajectoryQP, w_active) -> TrajectoryQP:
+    """Restrict a ``W_max``-shaped empty QP to an *active prefix* of
+    ``w_active`` waypoints (``w_active`` may be a traced scalar).
+
+    This is the pad-to-max discipline for the time-scaling loop
+    (``gomp-solver.h:38-55``): ONE compiled program at ``W_max`` serves every
+    shrunken horizon — padding waypoints get zero objective/constraint
+    coefficients and ±INF bounds, exactly like a freshly built QP at
+    ``w_active`` plus mathematically inert rows (the reference's own
+    dummy-row trick, ``constraint-builder.h:112-116``).
+
+    Apply to ``empty_trajectory_qp(W_max, ...)`` BEFORE
+    :func:`with_gomp_boxes_masked` / :func:`linearize_workspace` (the latter
+    masked via its ``w_active`` argument).
+    """
+    W, N = qp.waypoints, qp.n_dim
+    dt_ = qp.q_vec.dtype
+    wa = jnp.asarray(w_active, jnp.int32)
+    t = jnp.arange(W)
+    act_v = (t < wa).astype(dt_)  # velocity var exists for t < w_active
+    act_dyn = (t[: W - 1] < wa - 1).astype(dt_)
+    act_acc = (t[: W - 2] < wa - 2).astype(dt_)
+
+    # Smoothness P at horizon w_active: tridiag(2, -1) over active v-blocks.
+    P_diag = qp.P_diag * act_v[:, None, None]
+    P_lower = qp.P_lower * act_dyn[:, None, None]
+
+    dyn_coef = qp.dyn_coef * act_dyn[:, None, None]
+    dyn_l = jnp.where(act_dyn[:, None] > 0, qp.dyn_l, -INF)
+    dyn_u = jnp.where(act_dyn[:, None] > 0, qp.dyn_u, INF)
+    acc_coef = qp.acc_coef * act_acc[:, None, None]
+    return qp.replace(
+        P_diag=P_diag, P_lower=P_lower,
+        dyn_coef=dyn_coef, dyn_l=dyn_l, dyn_u=dyn_u, acc_coef=acc_coef,
+    )
+
+
+def with_gomp_boxes_masked(
+    qp: TrajectoryQP,
+    start_pos,
+    end_pos,
+    pos_con,
+    vel_con,
+    acc_con,
+    w_active,
+) -> TrajectoryQP:
+    """Traced-horizon version of :func:`with_gomp_boxes`: identical row
+    semantics (including the ``W-3`` endpoint quirk) with ``W := w_active``
+    a traced scalar inside a ``W_max``-shaped container."""
+    W, N = qp.waypoints, qp.n_dim
+    dt_ = qp.pos_l.dtype
+    wa = jnp.asarray(w_active, jnp.int32)
+    start = jnp.asarray(start_pos, dt_)
+    end = jnp.asarray(end_pos, dt_)
+    pl, pu = (jnp.asarray(b, dt_) for b in pos_con)
+    vl, vu = (jnp.asarray(b, dt_) for b in vel_con)
+    al, au = (jnp.asarray(b, dt_) for b in acc_con)
+
+    t = jnp.arange(W)[:, None]  # broadcast over N
+    one = jnp.ones((), dt_)
+
+    # position rows: coef for q_0..q_{wa-2}
+    pos_coef = jnp.where(t <= wa - 2, one, qp.pos_coef)
+    pos_coef = jnp.where(t > wa - 2, 0.0, pos_coef)
+    box_l = _masked(jnp.broadcast_to(pl, (W, N)), jnp.full((W, N), -INF, dt_))
+    box_u = _masked(jnp.broadcast_to(pu, (W, N)), jnp.full((W, N), INF, dt_))
+    pos_l = jnp.where((t >= 1) & (t <= wa - 2), box_l, -INF)
+    pos_u = jnp.where((t >= 1) & (t <= wa - 2), box_u, INF)
+    pos_l = jnp.where(t == 0, start[None, :], pos_l)
+    pos_u = jnp.where(t == 0, start[None, :], pos_u)
+    pos_l = jnp.where(t == wa - 3, end[None, :], pos_l)
+    pos_u = jnp.where(t == wa - 3, end[None, :], pos_u)
+
+    tv = jnp.arange(W - 1)[:, None]
+    vel_coef = jnp.where(
+        jnp.broadcast_to(tv <= wa - 3, (W - 1, N)), one, 0.0
+    )
+    vbox_l = _masked(jnp.broadcast_to(vl, (W - 1, N)), jnp.full((W - 1, N), -INF, dt_))
+    vbox_u = _masked(jnp.broadcast_to(vu, (W - 1, N)), jnp.full((W - 1, N), INF, dt_))
+    vel_l = jnp.where(tv <= wa - 4, vbox_l, -INF)
+    vel_u = jnp.where(tv <= wa - 4, vbox_u, INF)
+    vel_l = jnp.where(tv == wa - 3, 0.0, vel_l)
+    vel_u = jnp.where(tv == wa - 3, 0.0, vel_u)
+
+    ta = jnp.arange(W - 2)[:, None]
+    abox_l = _masked(jnp.broadcast_to(al, (W - 2, N)), jnp.full((W - 2, N), -INF, dt_))
+    abox_u = _masked(jnp.broadcast_to(au, (W - 2, N)), jnp.full((W - 2, N), INF, dt_))
+    acc_l = jnp.where(ta <= wa - 4, abox_l, -INF)
+    acc_u = jnp.where(ta <= wa - 4, abox_u, INF)
+    acc_l = jnp.where(ta == wa - 3, 0.0, acc_l)
+    acc_u = jnp.where(ta == wa - 3, 0.0, acc_u)
+
+    return qp.replace(
+        pos_coef=pos_coef, vel_coef=vel_coef,
+        pos_l=pos_l, pos_u=pos_u, vel_l=vel_l, vel_u=vel_u,
+        acc_l=acc_l, acc_u=acc_u,
+    )
+
+
 def linearize_workspace(
     qp: TrajectoryQP,
     balls,
     obstacles,
     con_3d,
     trajectory,
+    w_active=None,
 ) -> TrajectoryQP:
     """SCP linearization of workspace + obstacle constraints — the jitted
     equivalent of ``withObstacles`` (``constraint-builder.h:90-122``) plus the
@@ -650,6 +750,12 @@ def linearize_workspace(
     q_traj = jnp.asarray(trajectory, dt_)[: W * N].reshape(W, N)
     c3l = jnp.asarray(con_3d[0], dt_)
     c3u = jnp.asarray(con_3d[1], dt_)
+    # Pad-to-max horizon: waypoints ≥ w_active get inert rows (zero jac,
+    # ±INF bounds) — see :func:`with_horizon_mask`.
+    if w_active is None:
+        act = None
+    else:
+        act = jnp.arange(W) < jnp.asarray(w_active, jnp.int32)  # (W,)
 
     ws_jac, ws_l, ws_u = qp.ws_jac, qp.ws_l, qp.ws_u
     obs_jac, obs_l, obs_u = qp.obs_jac, qp.obs_l, qp.obs_u
@@ -672,9 +778,15 @@ def linearize_workspace(
                 INF,
                 c3u[None, :] - points + jq,
             )
+            low = low + r
+            upp = upp - r
+            if act is not None:
+                jac = jac * act[:, None, None].astype(dt_)
+                low = jnp.where(act[:, None], low, -INF)
+                upp = jnp.where(act[:, None], upp, INF)
             ws_jac = ws_jac.at[b].set(jac)
-            ws_l = ws_l.at[b].set(low + r)
-            ws_u = ws_u.at[b].set(upp - r)
+            ws_l = ws_l.at[b].set(low)
+            ws_u = ws_u.at[b].set(upp)
 
         for o, line in enumerate(obstacles):
             # constraint-builder.h:246-267 Z-row; dummy (±INF) when no
@@ -682,11 +794,16 @@ def linearize_workspace(
             coll = line.has_collision(points, r)  # (W,)
             bound = line.closest_point(points)[..., 2] - points[..., 2] + jq[..., 2]
             below = line.bypass_below > 0
-            low = jnp.where(coll & ~below, bound, -INF)
-            upp = jnp.where(coll & below, bound, INF)
-            obs_jac = obs_jac.at[b, o].set(jac[:, 2, :])
-            obs_l = obs_l.at[b, o].set(low + r)
-            obs_u = obs_u.at[b, o].set(upp - r)
+            low = jnp.where(coll & ~below, bound, -INF) + r
+            upp = jnp.where(coll & below, bound, INF) - r
+            zjac = jac[:, 2, :]
+            if act is not None:
+                zjac = zjac * act[:, None].astype(dt_)
+                low = jnp.where(act, low, -INF)
+                upp = jnp.where(act, upp, INF)
+            obs_jac = obs_jac.at[b, o].set(zjac)
+            obs_l = obs_l.at[b, o].set(low)
+            obs_u = obs_u.at[b, o].set(upp)
 
     return qp.replace(
         ws_jac=ws_jac, ws_l=ws_l, ws_u=ws_u,

@@ -21,10 +21,10 @@ from .mesh import BATCH_AXIS
 
 
 def solve_batch(qps, settings: admm.Settings = admm.Settings(), warm_x=None):
-    """Solve a leading-axis batch of QPs (single device / auto-sharded)."""
-    if warm_x is None:
-        return jax.vmap(lambda qp: admm.solve(qp, settings))(qps)
-    return jax.vmap(lambda qp, w: admm.solve(qp, settings, warm_x=w))(qps, warm_x)
+    """Solve a leading-axis batch of QPs (single device / auto-sharded) via
+    :func:`osqp_solver_tpu.ops.admm.solve_batched` — per-problem adaptive ρ
+    with the refactorization guarded by a batch-level scalar."""
+    return admm.solve_batched(qps, settings, warm_x=warm_x)
 
 
 def solve_batch_sharded(
@@ -39,7 +39,7 @@ def solve_batch_sharded(
     independently (device-local while loops) — near-linear scaling since no
     collectives are emitted inside the solve.
     """
-    vsolve = jax.vmap(lambda qp: admm.solve(qp, settings))
+    vsolve = lambda qps_shard: admm.solve_batched(qps_shard, settings)
     spec = P(axis)
     fn = jax.shard_map(
         vsolve,

@@ -209,3 +209,53 @@ def test_polish_tightens_residuals():
     assert float(polished.prim_res) < 1e-5
     assert float(polished.dual_res) < 1e-5
     check_kkt(qp, polished, eps=1e-4)
+
+
+def test_auto_refine_policy():
+    """Long-horizon f32 auto-refinement thresholds (VERDICT r1 next #4)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from osqp_solver_tpu.ops import admm
+
+    assert admm.refine_steps_for_horizon(100, jnp.float32) == 0
+    assert admm.refine_steps_for_horizon(256, jnp.float32) == 1
+    assert admm.refine_steps_for_horizon(802, jnp.float32) == 2
+    assert admm.refine_steps_for_horizon(802, jnp.float64) == 0
+    s = admm.Settings()
+    assert admm.with_auto_refine(s, 802, jnp.float32).kkt_refine == 2
+    # never lowers an explicit user choice
+    s3 = dataclasses.replace(s, kkt_refine=3)
+    assert admm.with_auto_refine(s3, 802, jnp.float32).kkt_refine == 3
+
+
+def test_solve_batched_matches_vmapped_solve():
+    """solve_batched (scalar-guarded adaptive-ρ refactor, VERDICT r1 next #5)
+    is numerically equivalent to vmap(solve): same statuses, same per-problem
+    ρ endpoints (each problem follows its own residual ratios), same x."""
+    import numpy as np
+
+    keys = jax.random.split(jax.random.PRNGKey(42), 6)
+    # Mixed difficulty: scale some problems badly so ρ adapts for a subset.
+    def one(key, scale):
+        qp = random_qp(key, n=12, m=18)
+        return qp.replace(P=qp.P * scale, q=qp.q * scale)
+
+    scales = jnp.asarray([1.0, 1e3, 1.0, 1e-3, 1.0, 30.0])
+    qps = jax.vmap(one)(keys, scales)
+    s = Settings(scaling=0)  # unscaled → adaptation actually triggers
+
+    res_v = jax.vmap(lambda qp: solve(qp, s))(qps)
+    res_b = admm.solve_batched(qps, s)
+
+    np.testing.assert_array_equal(np.asarray(res_v.status), np.asarray(res_b.status))
+    np.testing.assert_array_equal(
+        np.asarray(res_v.iterations), np.asarray(res_b.iterations)
+    )
+    np.testing.assert_allclose(np.asarray(res_v.rho), np.asarray(res_b.rho))
+    np.testing.assert_allclose(
+        np.asarray(res_v.x), np.asarray(res_b.x), atol=1e-9
+    )
+    # the mixed batch must actually have exercised per-problem adaptation
+    assert len(set(np.asarray(res_b.rho).tolist())) > 1
