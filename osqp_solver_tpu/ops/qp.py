@@ -88,15 +88,19 @@ class DenseQP:
     def kkt_factor(self, rho_vec, sigma):
         """Cholesky of ``P + σI + Aᵀ diag(ρ) A`` (SPD by construction — the
         TPU-native analogue of qdldl's LDLᵀ of the quasi-definite KKT used by
-        OSQP, SURVEY.md §2.2)."""
+        OSQP, SURVEY.md §2.2).  Under ``vmap`` on TPU the batch dispatches to
+        the lane-major Pallas kernel (:mod:`..ops.pallas_dense`)."""
+        from .pallas_dense import dense_cholesky
+
         n = self.n
         M = self.P + sigma * jnp.eye(n, dtype=self.P.dtype)
         M = M + jnp.matmul(self.A.T, rho_vec[:, None] * self.A, precision=_HI)
-        return jnp.linalg.cholesky(M)
+        return dense_cholesky(M)
 
     def kkt_solve(self, factor, rhs):
-        z = jax.scipy.linalg.solve_triangular(factor, rhs, lower=True)
-        return jax.scipy.linalg.solve_triangular(factor.T, z, lower=False)
+        from .pallas_dense import dense_chol_solve
+
+        return dense_chol_solve(factor, rhs)
 
 
 def dense_qp(P, q, A, l, u, dtype=None) -> DenseQP:
