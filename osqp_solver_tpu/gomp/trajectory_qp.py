@@ -43,6 +43,8 @@ from ..ops.tridiag import (
     block_tridiag_to_dense,
 )
 from .constraints import INF, INF_THRESHOLD
+
+_HI = jax.lax.Precision.HIGHEST  # exact f32 accumulation on TPU (see ops/tridiag.py)
 from .layout import TrajectoryLayout, make_layout
 
 
@@ -215,8 +217,8 @@ class TrajectoryQP:
         vel = self.vel_coef * v[:-1]
         a = self.acc_coef
         acc = a[..., 0] * v[1:-1] + a[..., 1] * v[:-2]
-        ws = jnp.einsum("bwan,wn->bwa", self.ws_jac, q)
-        obs = jnp.einsum("bown,wn->bow", self.obs_jac, q)
+        ws = jnp.einsum("bwan,wn->bwa", self.ws_jac, q, precision=_HI)
+        obs = jnp.einsum("bown,wn->bow", self.obs_jac, q, precision=_HI)
         return self._concat_rows(dyn, pos, vel, acc, ws, obs)
 
     def AT_matvec(self, y):
@@ -227,8 +229,8 @@ class TrajectoryQP:
         qg = self.pos_coef * pos
         qg = qg.at[1:].add(c[..., 1] * dyn)
         qg = qg.at[:-1].add(c[..., 2] * dyn)
-        qg = qg + jnp.einsum("bwan,bwa->wn", self.ws_jac, ws)
-        qg = qg + jnp.einsum("bown,bow->wn", self.obs_jac, obs)
+        qg = qg + jnp.einsum("bwan,bwa->wn", self.ws_jac, ws, precision=_HI)
+        qg = qg + jnp.einsum("bown,bow->wn", self.obs_jac, obs, precision=_HI)
         vg = jnp.zeros((W, N), dtype=y.dtype)
         vg = vg.at[:-1].add(c[..., 0] * dyn + self.vel_coef * vel)
         vg = vg.at[1:-1].add(a[..., 0] * acc)
@@ -361,12 +363,12 @@ class TrajectoryQP:
         M_diag = M_diag.at[:-2, vv, vv].add(r_acc * a1 * a1)
         M_lower = M_lower.at[: W - 2, vv, vv].add(r_acc * a0 * a1)
 
-        ws_c = jnp.einsum("bwan,bwa,bwam->wnm", self.ws_jac, r_ws, self.ws_jac)
+        ws_c = jnp.einsum("bwan,bwa,bwam->wnm", self.ws_jac, r_ws, self.ws_jac, precision=_HI)
         M_diag = M_diag.at[:, :N, :N].add(ws_c)
         if self.n_obstacles and self.n_balls:
             obs_c = jnp.einsum(
                 "bown,bow,bowm->wnm", self.obs_jac, r_obs, self.obs_jac
-            )
+            , precision=_HI)
             M_diag = M_diag.at[:, :N, :N].add(obs_c)
         return M_diag, M_lower
 
@@ -763,7 +765,7 @@ def linearize_workspace(
     for b, ball in enumerate(balls):
         points = jax.vmap(lambda s: jnp.asarray(ball.fk(s), dt_))(q_traj)  # (W,3)
         jac = jax.vmap(lambda s: jnp.asarray(ball.jacobian(s), dt_))(q_traj)
-        jq = jnp.einsum("wan,wn->wa", jac, q_traj)  # (W,3) J·q₀ per axis
+        jq = jnp.einsum("wan,wn->wa", jac, q_traj, precision=_HI)  # (W,3) J·q₀ per axis
         r = ball.radius
 
         if ball.is_gripper:

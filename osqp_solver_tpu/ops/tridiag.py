@@ -25,6 +25,13 @@ import jax
 import jax.numpy as jnp
 from jax.scipy.linalg import solve_triangular
 
+# TPU matmuls default to reduced-precision passes (bf16); the factor
+# recurrence accumulates that error over W steps and loses positive
+# definiteness for long horizons (W=802 f32: NaN at default precision,
+# 75-iteration convergence with exact f32 accumulation).  These are tiny
+# latency-bound matrices — exact f32 costs nothing.
+_HI = jax.lax.Precision.HIGHEST
+
 
 class BlockTridiagFactor(NamedTuple):
     """Cholesky factor of a block-tridiagonal SPD matrix:
@@ -37,10 +44,10 @@ class BlockTridiagFactor(NamedTuple):
 
 def block_tridiag_matvec(diag, lower, x):
     """``y = M x`` for ``x`` of shape ``(W, B)``."""
-    y = jnp.einsum("tij,tj->ti", diag, x)
+    y = jnp.einsum("tij,tj->ti", diag, x, precision=_HI)
     if lower.shape[0]:
-        y = y.at[1:].add(jnp.einsum("tij,tj->ti", lower, x[:-1]))
-        y = y.at[:-1].add(jnp.einsum("tji,tj->ti", lower, x[1:]))
+        y = y.at[1:].add(jnp.einsum("tij,tj->ti", lower, x[:-1], precision=_HI))
+        y = y.at[:-1].add(jnp.einsum("tji,tj->ti", lower, x[1:], precision=_HI))
     return y
 
 
@@ -57,7 +64,9 @@ def block_tridiag_factor(diag, lower) -> BlockTridiagFactor:
         L_t, D_next = inputs
         # G_t = L_t C_t^{-T}  ⟺  solve C_t Xᵀ = L_tᵀ.
         g_t = solve_triangular(c_prev, L_t.T, lower=True, trans=0).T
-        c_next = jnp.linalg.cholesky(D_next - g_t @ g_t.T)
+        c_next = jnp.linalg.cholesky(
+            D_next - jnp.matmul(g_t, g_t.T, precision=_HI)
+        )
         return c_next, (c_next, g_t)
 
     if W == 1:
@@ -80,7 +89,9 @@ def block_tridiag_solve(factor: BlockTridiagFactor, b):
 
     def fwd(w_prev, inputs):
         c_t, g_t, b_t = inputs
-        w_t = solve_triangular(c_t, b_t - g_t @ w_prev, lower=True)
+        w_t = solve_triangular(
+            c_t, b_t - jnp.matmul(g_t, w_prev, precision=_HI), lower=True
+        )
         return w_t, w_t
 
     _, ws = jax.lax.scan(fwd, w0, (chol[1:], gain, b[1:]))
@@ -90,7 +101,9 @@ def block_tridiag_solve(factor: BlockTridiagFactor, b):
 
     def bwd(x_next, inputs):
         c_t, g_t, w_t = inputs
-        x_t = solve_triangular(c_t.T, w_t - g_t.T @ x_next, lower=False)
+        x_t = solve_triangular(
+            c_t.T, w_t - jnp.matmul(g_t.T, x_next, precision=_HI), lower=False
+        )
         return x_t, x_t
 
     _, xs = jax.lax.scan(

@@ -219,12 +219,15 @@ def test_auto_refine_policy():
 
     from osqp_solver_tpu.ops import admm
 
+    # With exact f32 accumulation pinned in the factor/solve path, W=802
+    # needs NO refinement (measured: 25 iters on TPU v5e); the policy only
+    # adds a safety step beyond the verified range.
     assert admm.refine_steps_for_horizon(100, jnp.float32) == 0
-    assert admm.refine_steps_for_horizon(256, jnp.float32) == 1
-    assert admm.refine_steps_for_horizon(802, jnp.float32) == 2
-    assert admm.refine_steps_for_horizon(802, jnp.float64) == 0
+    assert admm.refine_steps_for_horizon(802, jnp.float32) == 0
+    assert admm.refine_steps_for_horizon(2048, jnp.float32) == 1
+    assert admm.refine_steps_for_horizon(2048, jnp.float64) == 0
     s = admm.Settings()
-    assert admm.with_auto_refine(s, 802, jnp.float32).kkt_refine == 2
+    assert admm.with_auto_refine(s, 2048, jnp.float32).kkt_refine == 1
     # never lowers an explicit user choice
     s3 = dataclasses.replace(s, kkt_refine=3)
     assert admm.with_auto_refine(s3, 802, jnp.float32).kkt_refine == 3
