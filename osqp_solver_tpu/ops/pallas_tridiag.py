@@ -1,17 +1,26 @@
-"""Pallas TPU kernel: batched block-tridiagonal triangular solves.
+"""Pallas TPU kernels: batched block-tridiagonal Cholesky + solves.
 
 The speed-of-light path for the ADMM x̃-update (SURVEY.md §7 stage 4).  The
 scan-based solver in :mod:`osqp_solver_tpu.ops.tridiag` expresses the
 per-waypoint 12×12 triangular solves as batched small-matrix XLA ops — each
 op is far below MXU/VPU tile size, so XLA spends its time on dispatch and
-layout, not math.  This kernel flips the layout: the *problem batch* lives on
-the 128-wide lane dimension, every block-matrix element becomes a ``(1, T)``
-lane vector, and the whole forward+backward recurrence runs inside one kernel
-with the factor streamed from HBM through a double-buffered VMEM pipeline
-(one ``(B2, B2, T)`` block DMA per waypoint step, overlapped with compute).
+layout, not math.  These kernels flip the layout: the *problem batch* fills
+a full ``(S, 128)`` sublane×lane tile (up to 1024 problems per grid
+program), every block-matrix element ``C[i, j]`` becomes one such tile, and
+the whole forward+backward recurrence runs inside one kernel with the
+factor streamed from HBM through a double-buffered VMEM pipeline (one
+``(B2, B2, S, 128)`` block DMA per waypoint step, overlapped with compute).
+
+Why sublanes matter: the recurrence is sequential in ``W``, so the kernel
+is latency-bound.  With batch only on lanes (the round-1 layout), each
+block element op touched a ``(1, 128)`` row — 1/8 of the VPU — and a 1024
+batch needed 8 *serial* grid programs.  Batch-on-(sublane×lane) pays the
+``2W``-step latency once for all 1024 problems at full VPU width
+(measured: 0.85 → ~0.2 ms per ADMM iteration at batch 1024, W=100).
 
 Layout: ``chol``/``gain`` are ``(W, B2, B2, BATCH)`` ("lane-major": batch
-last), ``rhs``/``x`` are ``(W, B2, BATCH)``.  The factor comes from
+last) at the API; internally the batch is reshaped to ``(GS, 128)`` and
+grid programs cover ``S`` sublane groups each.  The factor comes from
 :func:`osqp_solver_tpu.ops.tridiag.block_tridiag_factor` (vmapped), i.e.
 ``M = C Cᵀ`` with diagonal blocks ``chol`` and sub-diagonal ``gain``:
 
@@ -21,27 +30,34 @@ last), ``rhs``/``x`` are ``(W, B2, BATCH)``.  The factor comes from
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANE_TILE = 128
+LANE = 128
+MAX_SUBLANES = 8  # f32 tile height; one grid program covers S*128 problems
+
+
+def _batch_tiles(B: int):
+    """(padded batch, sublane-groups per program, grid size)."""
+    gs = -(-B // LANE)  # ceil
+    S = min(MAX_SUBLANES, gs)
+    grid = -(-gs // S)
+    return grid * S * LANE, S, grid
 
 
 def _lower_solve(c, b):
-    """Solve ``C w = b`` with C lower-triangular, everything lane-vectored.
-
-    ``c``: (B2, B2, T) jnp array; ``b``: list of B2 lane rows (1, T)."""
+    """Solve ``C w = b`` with C lower-triangular; ``c``: (B2, B2, S, T),
+    ``b``: list of B2 batch tiles (S, T)."""
     B2 = c.shape[0]
     w = []
     for i in range(B2):
         acc = b[i]
         for j in range(i):
-            acc = acc - c[i, j][None, :] * w[j]
-        w.append(acc / c[i, i][None, :])
+            acc = acc - c[i, j] * w[j]
+        w.append(acc / c[i, i])
     return w
 
 
@@ -52,17 +68,17 @@ def _upper_solve(c, b):
     for i in reversed(range(B2)):
         acc = b[i]
         for j in range(i + 1, B2):
-            acc = acc - c[j, i][None, :] * x[j]
-        x[i] = acc / c[i, i][None, :]
+            acc = acc - c[j, i] * x[j]
+        x[i] = acc / c[i, i]
     return x
 
 
 def _matvec(g, v):
-    """rows of ``G @ v`` as lane vectors; ``g`` (B2, B2, T), v list of (1,T)."""
+    """rows of ``G @ v`` as batch tiles; ``g`` (B2, B2, S, T), v list of (S, T)."""
     B2 = g.shape[0]
     return [
         functools.reduce(
-            lambda a, b: a + b, [g[i, j][None, :] * v[j] for j in range(B2)]
+            lambda a, b: a + b, [g[i, j] * v[j] for j in range(B2)]
         )
         for i in range(B2)
     ]
@@ -73,61 +89,71 @@ def _matvec_T(g, v):
     B2 = g.shape[0]
     return [
         functools.reduce(
-            lambda a, b: a + b, [g[j, i][None, :] * v[j] for j in range(B2)]
+            lambda a, b: a + b, [g[j, i] * v[j] for j in range(B2)]
         )
         for i in range(B2)
     ]
 
 
-def _rows(ref, t, B2):
-    return [ref[t, i][None, :] for i in range(B2)]
+def _solve_kernel(
+    chol_hbm, gain_hbm, rhs_hbm, x_hbm,
+    cbuf, gbuf, rbuf, obuf, csem, gsem, rsem, osem,
+):
+    """One batch-tile program: full forward+backward substitution.
 
-
-def _write_rows(ref, t, rows):
-    for i, r in enumerate(rows):
-        ref[t, i] = r[0]
-
-
-def _solve_kernel(chol_hbm, gain_hbm, rhs_ref, x_ref, cbuf, gbuf, csem, gsem):
-    """One batch-tile: full forward+backward substitution over the horizon.
-
-    ``chol_hbm``/``gain_hbm`` stay in HBM ((W, B2, B2, T) for this tile);
-    per-waypoint blocks are DMA'd into the 2-slot VMEM buffers ``cbuf``/
-    ``gbuf`` one step ahead of use.
+    Everything streams HBM→VMEM→HBM: per waypoint the factor blocks and the
+    rhs row are DMA'd into 2-slot buffers one step ahead of use, the w/x
+    recurrence values live in registers (loop carries), and each computed
+    row is written back synchronously.  No dynamically-indexed VMEM block
+    refs anywhere — that pattern (the round-1 kernel) made Mosaic's layout
+    pass intractable (>100 s compiles); this streaming form compiles in
+    seconds and is what the factorization kernel already does.
     """
-    W, B2 = rhs_ref.shape[0], rhs_ref.shape[1]
-    # chol/gain are whole-array ANY(HBM) refs; slice this program's lane tile.
-    lane0 = pl.program_id(0) * LANE_TILE
+    W = chol_hbm.shape[0]
+    B2, S = cbuf.shape[1], cbuf.shape[3]
+    sub0 = pl.program_id(0) * S
+    zero = jnp.zeros(cbuf.shape[-2:], cbuf.dtype)
 
     def cdma(slot, t):
         return pltpu.make_async_copy(
-            chol_hbm.at[t, :, :, pl.ds(lane0, LANE_TILE)],
-            cbuf.at[slot],
-            csem.at[slot],
+            chol_hbm.at[t, :, :, pl.ds(sub0, S), :], cbuf.at[slot], csem.at[slot]
         )
 
     def gdma(slot, t):
         return pltpu.make_async_copy(
-            gain_hbm.at[t, :, :, pl.ds(lane0, LANE_TILE)],
-            gbuf.at[slot],
-            gsem.at[slot],
+            gain_hbm.at[t, :, :, pl.ds(sub0, S), :], gbuf.at[slot], gsem.at[slot]
         )
+
+    def rdma(slot, t):
+        return pltpu.make_async_copy(
+            rhs_hbm.at[t, :, pl.ds(sub0, S), :], rbuf.at[slot], rsem.at[slot]
+        )
+
+    def write_out(slot, t, rows):
+        for i, r in enumerate(rows):
+            obuf[slot, i] = r
+        w = pltpu.make_async_copy(
+            obuf.at[slot], x_hbm.at[t, :, pl.ds(sub0, S), :], osem.at[slot]
+        )
+        w.start()
+        w.wait()
 
     # ------------------------------ forward -------------------------------
     cdma(0, 0).start()
+    rdma(0, 0).start()
 
-    def fwd_body(t, _):
+    def fwd_body(t, w_prev):
         @pl.when(t + 1 < W)
         def _():
             cdma((t + 1) % 2, t + 1).start()
-
-        cdma(t % 2, t).wait()
+            rdma((t + 1) % 2, t + 1).start()
 
         @pl.when(t < W - 1)
         def _():
             gdma(t % 2, t).start()  # G_t, consumed at step t+1
 
-        b = _rows(rhs_ref, t, B2)
+        cdma(t % 2, t).wait()
+        rdma(t % 2, t).wait()
 
         @pl.when(t > 0)
         def _():
@@ -135,34 +161,34 @@ def _solve_kernel(chol_hbm, gain_hbm, rhs_ref, x_ref, cbuf, gbuf, csem, gsem):
 
         c = cbuf[t % 2]
         g = gbuf[(t + 1) % 2]  # slot (t-1) % 2 == (t+1) % 2
-        # w_{t-1}; index clamped at t=0 (value unused — masked below).
-        w_prev = _rows(x_ref, jnp.maximum(t - 1, 0), B2)
-        corr = _matvec(g, w_prev)
-        b = [
-            jnp.where(t > 0, bi - ci, bi) for bi, ci in zip(b, corr)
-        ]
-        _write_rows(x_ref, t, _lower_solve(c, b))
-        return 0
+        b = [rbuf[t % 2, i] for i in range(B2)]
+        corr = _matvec(g, list(w_prev))
+        b = [jnp.where(t > 0, bi - ci, bi) for bi, ci in zip(b, corr)]
+        w = _lower_solve(c, b)
+        write_out(t % 2, t, w)
+        return tuple(w)
 
-    jax.lax.fori_loop(0, W, fwd_body, 0)
+    jax.lax.fori_loop(0, W, fwd_body, tuple(zero for _ in range(B2)))
 
     # ------------------------------ backward ------------------------------
     cdma((W - 1) % 2, W - 1).start()
+    # w_{W-1} row, written back above, streams back in through rbuf.
+    wdma = lambda slot, t: pltpu.make_async_copy(  # noqa: E731
+        x_hbm.at[t, :, pl.ds(sub0, S), :], rbuf.at[slot], rsem.at[slot]
+    )
+    wdma((W - 1) % 2, W - 1).start()
 
-    def bwd_body(i, _):
+    def bwd_body(i, x_next):
         t = W - 1 - i
 
         @pl.when(t - 1 >= 0)
         def _():
             cdma((t - 1) % 2, t - 1).start()
-
-        cdma(t % 2, t).wait()
-
-        @pl.when(t - 1 >= 0)
-        def _():
+            wdma((t - 1) % 2, t - 1).start()
             gdma((t - 1) % 2, t - 1).start()  # G_{t-1}, consumed at step t-1
 
-        b = _rows(x_ref, t, B2)  # holds w_t from the forward pass
+        cdma(t % 2, t).wait()
+        wdma(t % 2, t).wait()  # w_t row
 
         @pl.when(t < W - 1)
         def _():
@@ -170,81 +196,76 @@ def _solve_kernel(chol_hbm, gain_hbm, rhs_ref, x_ref, cbuf, gbuf, csem, gsem):
 
         c = cbuf[t % 2]
         g = gbuf[t % 2]
-        # x_ref[t+1] already holds the final x_{t+1} (computed last step);
-        # index clamped at t = W-1 (value unused — masked below).
-        corr = _matvec_T(g, _rows(x_ref, jnp.minimum(t + 1, W - 1), B2))
+        b = [rbuf[t % 2, i] for i in range(B2)]
+        corr = _matvec_T(g, list(x_next))
         b = [jnp.where(t < W - 1, bi - ci, bi) for bi, ci in zip(b, corr)]
-        _write_rows(x_ref, t, _upper_solve(c, b))
-        return 0
+        x = _upper_solve(c, b)
+        write_out(t % 2, t, x)
+        return tuple(x)
 
-    jax.lax.fori_loop(0, W, bwd_body, 0)
+    jax.lax.fori_loop(0, W, bwd_body, tuple(zero for _ in range(B2)))
+
+
+def _to_tiles(a, B, Bp):
+    """(..., B) → (..., GS, 128) with zero padding."""
+    if Bp != B:
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, Bp - B)])
+    return a.reshape(*a.shape[:-1], Bp // LANE, LANE)
 
 
 def solve_lane_major(chol, gain, rhs, interpret: bool | None = None):
     """Batched solve in lane-major layout.
 
     ``chol``: (W, B2, B2, B), ``gain``: (W-1, B2, B2, B), ``rhs``: (W, B2, B)
-    → x (W, B2, B).  ``B`` is padded to a multiple of 128 lanes; the grid
-    runs one program per 128-problem tile.
+    → x (W, B2, B).  The batch is tiled ``(S, 128)`` per grid program
+    (S ≤ 8 sublane groups), so up to 1024 problems share one program's
+    sequential W-loop at full VPU width.
     """
     W, B2, _, B = chol.shape
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     dtype = rhs.dtype
 
-    pad = (-B) % LANE_TILE
-    if pad:
-        chol, gain, rhs = (
-            jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
-            for a in (chol, gain, rhs)
-        )
-        # padded chol lanes are all-zero → divisions produce inf/nan in dead
-        # lanes only; make the diagonal 1 to keep them finite.
+    Bp, S, grid = _batch_tiles(B)
+    if Bp != B:
+        # dead problems: identity diagonal keeps divisions finite.
         eye = jnp.broadcast_to(
-            jnp.eye(B2, dtype=dtype)[None, :, :, None], (W, B2, B2, pad)
+            jnp.eye(B2, dtype=dtype)[None, :, :, None], (W, B2, B2, Bp - B)
         )
-        chol = chol.at[..., B:].set(eye)
-    Bp = B + pad
-    # gain padded to W blocks so the kernel can index t = W-1 harmlessly.
+        chol = jnp.concatenate([chol, eye], axis=-1)
+    chol = chol.reshape(W, B2, B2, Bp // LANE, LANE)
     gain_full = jnp.concatenate(
-        [gain, jnp.zeros((W - gain.shape[0], B2, B2, Bp), dtype)], axis=0
+        [gain, jnp.zeros((W - gain.shape[0],) + gain.shape[1:], dtype)], axis=0
     )
-    # HBM DMA slices must be sublane-aligned (multiple of 8) along the
-    # second-to-last dim; pad the streamed factor blocks' column dim.
-    sub_pad = (-B2) % 8
-    if sub_pad:
-        padspec = [(0, 0), (0, 0), (0, sub_pad), (0, 0)]
-        chol = jnp.pad(chol, padspec)
-        gain_full = jnp.pad(gain_full, padspec)
-    B2p = B2 + sub_pad
+    gain_full = _to_tiles(gain_full, B, Bp)
+    rhs = _to_tiles(rhs, B, Bp)
 
-    grid = (Bp // LANE_TILE,)
     out = pl.pallas_call(
         _solve_kernel,
-        grid=grid,
+        grid=(grid,),
         in_specs=[
             # Whole-array HBM residents; the kernel DMAs per-waypoint,
-            # per-lane-tile slices itself (ANY-space blocks cannot be
-            # grid-partitioned by BlockSpec).
+            # per-batch-tile slices itself.
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (W, B2, LANE_TILE), lambda b: (0, 0, b), memory_space=pltpu.VMEM
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(
-            (W, B2, LANE_TILE), lambda b: (0, 0, b), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((W, B2, Bp), dtype),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((W, B2, Bp // LANE, LANE), dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, B2, B2p, LANE_TILE), dtype),
-            pltpu.VMEM((2, B2, B2p, LANE_TILE), dtype),
+            pltpu.VMEM((2, B2, B2, S, LANE), dtype),
+            pltpu.VMEM((2, B2, B2, S, LANE), dtype),
+            pltpu.VMEM((2, B2, S, LANE), dtype),
+            pltpu.VMEM((2, B2, S, LANE), dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(chol, gain_full, rhs)
-    return out[..., :B]
+    return out.reshape(W, B2, Bp)[..., :B]
 
 
 def to_lane_major(batched_factor_or_rhs):
@@ -257,7 +278,7 @@ def from_lane_major(arr):
 
 
 # ---------------------------------------------------------------------------
-# Batched block-Cholesky factorization kernel (lane-major).
+# Batched block-Cholesky factorization kernel (batch-tiled).
 # ---------------------------------------------------------------------------
 
 
@@ -267,32 +288,35 @@ def _gain_rows(l, C):
     G = [[None] * B2 for _ in range(B2)]
     for i in range(B2):
         for j in range(B2):
-            s = l[i, j][None, :]
+            s = l[i, j]
             for k in range(j):
                 s = s - G[i][k] * C[j][k]
             G[i][j] = s / C[j][j]
     return G
 
 
-def _factor_kernel(diag_hbm, lower_hbm, chol_hbm, gain_hbm, dbuf, lbuf, obuf, gobuf, dsem, lsem, osem, gsem):
-    """One batch-tile: the full block-Cholesky recurrence over the horizon.
+def _factor_kernel(
+    diag_hbm, lower_hbm, chol_hbm, gain_hbm,
+    dbuf, lbuf, obuf, gobuf, dsem, lsem, osem, gsem,
+):
+    """One batch-tile program: the full block-Cholesky recurrence.
 
     Inputs stream HBM→VMEM double-buffered; each step's ``chol``/``gain``
     block is written back synchronously (compute dominates the recurrence;
     write latency is hidden behind the next input DMA).
     """
     W = diag_hbm.shape[0]
-    B2 = dbuf.shape[1]
-    lane0 = pl.program_id(0) * LANE_TILE
+    B2, S = dbuf.shape[1], dbuf.shape[3]
+    sub0 = pl.program_id(0) * S
 
     def ddma(slot, t):
         return pltpu.make_async_copy(
-            diag_hbm.at[t, :, :, pl.ds(lane0, LANE_TILE)], dbuf.at[slot], dsem.at[slot]
+            diag_hbm.at[t, :, :, pl.ds(sub0, S), :], dbuf.at[slot], dsem.at[slot]
         )
 
     def ldma(slot, t):
         return pltpu.make_async_copy(
-            lower_hbm.at[t, :, :, pl.ds(lane0, LANE_TILE)], lbuf.at[slot], lsem.at[slot]
+            lower_hbm.at[t, :, :, pl.ds(sub0, S), :], lbuf.at[slot], lsem.at[slot]
         )
 
     ddma(0, 0).start()
@@ -312,26 +336,26 @@ def _factor_kernel(diag_hbm, lower_hbm, chol_hbm, gain_hbm, dbuf, lbuf, obuf, go
         def _():
             ldma((t + 1) % 2, t - 1).wait()
 
-        d = dbuf[t % 2]  # (B2, B2p, T)
+        d = dbuf[t % 2]  # (B2, B2, S, T)
         # C_prev lives in obuf[(t-1) % 2] == obuf[(t+1) % 2]; its write DMA
         # completed synchronously last step, so reading it here is safe.
         Cp = obuf[(t + 1) % 2]
         l_prev = lbuf[(t + 1) % 2]  # L_{t-1}, streamed last step
 
         # G_{t-1} = L_{t-1} C_{t-1}^{-T} (garbage at t = 0, masked below).
-        Cp_rows = [[Cp[i, j][None, :] for j in range(B2)] for i in range(B2)]
+        Cp_rows = [[Cp[i, j] for j in range(B2)] for i in range(B2)]
         G = _gain_rows(l_prev, Cp_rows)
 
         # S_t = D_t − G G ᵀ (no correction at t = 0).
         s_rows = [[None] * B2 for _ in range(B2)]
         for i in range(B2):
             for j in range(i + 1):
-                acc = d[i, j][None, :]
+                acc = d[i, j]
                 for k in range(B2):
                     acc = acc - G[i][k] * G[j][k]
-                s_rows[i][j] = jnp.where(t > 0, acc, d[i, j][None, :])
+                s_rows[i][j] = jnp.where(t > 0, acc, d[i, j])
 
-        # Lane-vectored Cholesky of S_t.
+        # Batch-tiled Cholesky of S_t.
         C = [[None] * B2 for _ in range(B2)]
         for i in range(B2):
             for j in range(i + 1):
@@ -348,12 +372,12 @@ def _factor_kernel(diag_hbm, lower_hbm, chol_hbm, gain_hbm, dbuf, lbuf, obuf, go
         zero = jnp.zeros_like(d[0, 0])
         for i in range(B2):
             for j in range(B2):
-                obuf[t % 2, i, j] = C[i][j][0] if j <= i else zero
-                gobuf[t % 2, i, j] = G[i][j][0]
+                obuf[t % 2, i, j] = C[i][j] if j <= i else zero
+                gobuf[t % 2, i, j] = G[i][j]
 
         cw = pltpu.make_async_copy(
             obuf.at[t % 2],
-            chol_hbm.at[t, :, :, pl.ds(lane0, LANE_TILE)],
+            chol_hbm.at[t, :, :, pl.ds(sub0, S), :],
             osem.at[t % 2],
         )
         cw.start()
@@ -363,7 +387,7 @@ def _factor_kernel(diag_hbm, lower_hbm, chol_hbm, gain_hbm, dbuf, lbuf, obuf, go
         def _():
             gw = pltpu.make_async_copy(
                 gobuf.at[t % 2],
-                gain_hbm.at[t - 1, :, :, pl.ds(lane0, LANE_TILE)],
+                gain_hbm.at[t - 1, :, :, pl.ds(sub0, S), :],
                 gsem.at[t % 2],
             )
             gw.start()
@@ -386,30 +410,22 @@ def factor_lane_major(diag, lower, interpret: bool | None = None):
         interpret = jax.default_backend() != "tpu"
     dtype = diag.dtype
 
-    pad = (-B) % LANE_TILE
-    if pad:
-        diag, lower = (
-            jnp.pad(a, [(0, 0)] * 3 + [(0, pad)]) for a in (diag, lower)
-        )
+    Bp, S, grid = _batch_tiles(B)
+    if Bp != B:
         eye = jnp.broadcast_to(
-            jnp.eye(B2, dtype=dtype)[None, :, :, None], (W, B2, B2, pad)
+            jnp.eye(B2, dtype=dtype)[None, :, :, None], (W, B2, B2, Bp - B)
         )
-        diag = diag.at[..., B:].set(eye)  # keep dead lanes SPD
-    Bp = B + pad
+        diag = jnp.concatenate([diag, eye], axis=-1)  # keep dead lanes SPD
+    diag = diag.reshape(W, B2, B2, Bp // LANE, LANE)
     lower_full = jnp.concatenate(
-        [lower, jnp.zeros((W - lower.shape[0], B2, B2, Bp), dtype)], axis=0
+        [lower, jnp.zeros((W - lower.shape[0],) + lower.shape[1:], dtype)],
+        axis=0,
     )
-    sub_pad = (-B2) % 8
-    if sub_pad:
-        padspec = [(0, 0), (0, 0), (0, sub_pad), (0, 0)]
-        diag = jnp.pad(diag, padspec)
-        lower_full = jnp.pad(lower_full, padspec)
-    B2p = B2 + sub_pad
+    lower_full = _to_tiles(lower_full, B, Bp)
 
-    grid = (Bp // LANE_TILE,)
     chol, gain = pl.pallas_call(
         _factor_kernel,
-        grid=grid,
+        grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -419,14 +435,14 @@ def factor_lane_major(diag, lower, interpret: bool | None = None):
             pl.BlockSpec(memory_space=pl.ANY),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((W, B2, B2p, Bp), dtype),
-            jax.ShapeDtypeStruct((W, B2, B2p, Bp), dtype),
+            jax.ShapeDtypeStruct((W, B2, B2, Bp // LANE, LANE), dtype),
+            jax.ShapeDtypeStruct((W, B2, B2, Bp // LANE, LANE), dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, B2, B2p, LANE_TILE), dtype),
-            pltpu.VMEM((2, B2, B2p, LANE_TILE), dtype),
-            pltpu.VMEM((2, B2, B2p, LANE_TILE), dtype),
-            pltpu.VMEM((2, B2, B2p, LANE_TILE), dtype),
+            pltpu.VMEM((2, B2, B2, S, LANE), dtype),
+            pltpu.VMEM((2, B2, B2, S, LANE), dtype),
+            pltpu.VMEM((2, B2, B2, S, LANE), dtype),
+            pltpu.VMEM((2, B2, B2, S, LANE), dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -435,7 +451,9 @@ def factor_lane_major(diag, lower, interpret: bool | None = None):
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(diag, lower_full)
-    return chol[:, :, :B2, :B], gain[: W - 1, :, :B2, :B]
+    chol = chol.reshape(W, B2, B2, Bp)[..., :B]
+    gain = gain.reshape(W, B2, B2, Bp)[: W - 1, ..., :B]
+    return chol, gain
 
 
 # ---------------------------------------------------------------------------
@@ -455,7 +473,7 @@ def tridiag_solve(chol, gain, rhs):
     Semantically identical to
     :func:`osqp_solver_tpu.ops.tridiag.block_tridiag_solve`; under ``vmap``
     the whole batch is handed to :func:`solve_lane_major` so the ADMM
-    x̃-update runs as one fused kernel per 128-problem lane tile.
+    x̃-update runs as one fused kernel per batch tile.
     """
     return block_tridiag_solve(BlockTridiagFactor(chol, gain), rhs)
 
@@ -487,8 +505,8 @@ from .tridiag import block_tridiag_factor  # noqa: E402
 @custom_vmap
 def tridiag_factor(diag, lower):
     """Block-Cholesky factor ``(chol, gain)`` of a block-tridiagonal SPD
-    matrix; under ``vmap`` on TPU the whole batch runs as the lane-major
-    Pallas kernel (one fused recurrence per 128-problem tile)."""
+    matrix; under ``vmap`` on TPU the whole batch runs as the batch-tiled
+    Pallas kernel (one fused recurrence per ≤1024-problem tile)."""
     f = block_tridiag_factor(diag, lower)
     return f.chol, f.gain
 
