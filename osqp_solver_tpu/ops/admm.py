@@ -462,12 +462,20 @@ def run_admm(base, scaled, scaling: Scaling, st: ADMMState, settings: Settings) 
         return (~st.done) & (st.iterations < settings.max_iter)
 
     def chunk(st):
+        # The factor is constant within a chunk (ρ adapts only at chunk
+        # boundaries).  Keep it OUT of the fori_loop carry and close over it
+        # instead, so loop-invariant work derived from it (notably the
+        # lane-major relayout feeding the Pallas solve kernel under vmap —
+        # ~100 MB/iteration at batch 1024) is hoisted out of the loop.
+        factor = st.factor
         st = jax.lax.fori_loop(
             0,
             settings.check_termination,
-            lambda i, s: _admm_iteration(scaled, s, settings),
-            st,
-        )
+            lambda i, s: _admm_iteration(
+                scaled, s.replace(factor=factor), settings
+            ).replace(factor=None),
+            st.replace(factor=None),
+        ).replace(factor=factor)
         st, norms = _termination(base, scaled, scaling, st, settings)
         if settings.adaptive_rho:
             interval = max(
@@ -614,12 +622,17 @@ def solve_batched(
         return jnp.any((~st.done) & (st.iterations < settings.max_iter))
 
     def chunk(st):
+        # Factor out of the inner carry (constant within a chunk) so its
+        # lane-major relayout for the Pallas kernel is hoisted — see run_admm.
+        factor = st.factor
         st = jax.lax.fori_loop(
             0,
             settings.check_termination,
-            lambda i, s: iter_fn(scaled, s),
-            st,
-        )
+            lambda i, s: iter_fn(scaled, s.replace(factor=factor)).replace(
+                factor=None
+            ),
+            st.replace(factor=None),
+        ).replace(factor=factor)
         st, norms = term_fn(qps, scaled, scaling, st)
         if settings.adaptive_rho:
             interval = max(
