@@ -113,10 +113,17 @@ def test_kernels_on_hardware():
     Ms = jax.vmap(lambda k: random_spd(k, n))(keys)
     rhs = jax.random.normal(jax.random.PRNGKey(10), (batch, n), jnp.float32)
     L = jax.jit(jax.vmap(dense_cholesky))(Ms)
-    x = jax.jit(jax.vmap(dense_chol_solve))(L, rhs)
     np.testing.assert_allclose(
-        np.asarray(jax.vmap(lambda M, b: M @ b)(Ms, x)),
-        np.asarray(rhs),
-        rtol=5e-3,
-        atol=5e-3,
+        np.asarray(L),
+        np.asarray(jax.vmap(jnp.linalg.cholesky)(Ms)),
+        rtol=2e-4,
+        atol=2e-4,
+    )
+    x = jax.jit(jax.vmap(dense_chol_solve))(L, rhs)
+    # Residual matvec must use exact f32 accumulation — the default TPU
+    # matmul path (bf16 passes) injects ~1e-2 error into the CHECK itself.
+    hi = jax.lax.Precision.HIGHEST
+    resid = jax.vmap(lambda M, b: jnp.matmul(M, b, precision=hi))(Ms, x)
+    np.testing.assert_allclose(
+        np.asarray(resid), np.asarray(rhs), rtol=5e-3, atol=5e-3
     )
