@@ -334,42 +334,61 @@ class TrajectoryQP:
 
     def kkt_blocks(self, rho_vec, sigma):
         """Assemble ``P + σI + Aᵀdiag(ρ)A`` as block-tridiagonal
-        ``(diag, lower)`` — direct structured scatter, no sparse formats."""
+        ``(diag, lower)``.
+
+        Scatter-free: every AᵀρA contribution lands on a sub-block diagonal
+        of the (2N, 2N) waypoint blocks, so each is an outer product of a
+        per-waypoint vector with a constant shifted-identity mask — pure
+        broadcast adds that XLA fuses, instead of scatter HLO (which costs
+        ~30 ms/refactor at batch 1024 on TPU and dominated the honest solve).
+        """
         W, N = self.waypoints, self.n_dim
         r_dyn, r_pos, r_vel, r_acc, r_ws, r_obs = self._split_rows(rho_vec)
-        jj = jnp.arange(N)
-        vv = N + jj
-
-        M_diag = self.P_diag + sigma * jnp.eye(2 * N, dtype=self.P_diag.dtype)
-        M_lower = self.P_lower
+        dt = self.P_diag.dtype
 
         c0 = self.dyn_coef[..., 0]
         c1 = self.dyn_coef[..., 1]
         c2 = self.dyn_coef[..., 2]
-        M_diag = M_diag.at[:-1, jj, jj].add(r_dyn * c2 * c2)
-        M_diag = M_diag.at[:-1, vv, vv].add(r_dyn * c0 * c0)
-        M_diag = M_diag.at[:-1, jj, vv].add(r_dyn * c2 * c0)
-        M_diag = M_diag.at[:-1, vv, jj].add(r_dyn * c2 * c0)
-        M_diag = M_diag.at[1:, jj, jj].add(r_dyn * c1 * c1)
-        M_lower = M_lower.at[:, jj, jj].add(r_dyn * c1 * c2)
-        M_lower = M_lower.at[:, jj, vv].add(r_dyn * c1 * c0)
-
-        M_diag = M_diag.at[:, jj, jj].add(r_pos * self.pos_coef**2)
-        M_diag = M_diag.at[:-1, vv, vv].add(r_vel * self.vel_coef**2)
-
         a0 = self.acc_coef[..., 0]
         a1 = self.acc_coef[..., 1]
-        M_diag = M_diag.at[1:-1, vv, vv].add(r_acc * a0 * a0)
-        M_diag = M_diag.at[:-2, vv, vv].add(r_acc * a1 * a1)
-        M_lower = M_lower.at[: W - 2, vv, vv].add(r_acc * a0 * a1)
+        pad = lambda x, b, a: jnp.pad(x, ((b, a), (0, 0)))
+
+        # Per-waypoint sub-block diagonals of AᵀρA (each (W, N)).
+        d_qq = r_pos * self.pos_coef**2
+        d_qq = d_qq + pad(r_dyn * c2 * c2, 0, 1) + pad(r_dyn * c1 * c1, 1, 0)
+        d_vv = pad(r_dyn * c0 * c0 + r_vel * self.vel_coef**2, 0, 1)
+        d_vv = d_vv + pad(r_acc * a0 * a0, 1, 1) + pad(r_acc * a1 * a1, 0, 2)
+        d_qv = pad(r_dyn * c2 * c0, 0, 1)
+
+        eye = jnp.eye(2 * N, dtype=dt)
+        k_qv = jnp.eye(2 * N, k=N, dtype=dt)  # ones at (j, N+j)
+        zpad = jnp.zeros_like(d_qv)
+        M_diag = (
+            self.P_diag
+            + sigma * eye
+            + jnp.concatenate([d_qq, d_vv], axis=1)[:, :, None] * eye
+            + jnp.concatenate([d_qv, zpad], axis=1)[:, :, None] * k_qv
+            + jnp.concatenate([zpad, d_qv], axis=1)[:, :, None] * k_qv.T
+        )
+
+        # Lower (t+1, t) blocks: dyn couples (q_{t+1} → q_t, v_t), acc
+        # couples (v_{t+1} → v_t) — again all sub-block diagonals.
+        l_qq = r_dyn * c1 * c2
+        l_qv = r_dyn * c1 * c0
+        l_vv = pad(r_acc * a0 * a1, 0, 1)
+        zlow = jnp.zeros_like(l_qq)
+        M_lower = (
+            self.P_lower
+            + jnp.concatenate([l_qq, l_vv], axis=1)[:, :, None] * eye
+            + jnp.concatenate([l_qv, zlow], axis=1)[:, :, None] * k_qv
+        )
 
         ws_c = jnp.einsum("bwan,bwa,bwam->wnm", self.ws_jac, r_ws, self.ws_jac, precision=_HI)
-        M_diag = M_diag.at[:, :N, :N].add(ws_c)
         if self.n_obstacles and self.n_balls:
-            obs_c = jnp.einsum(
+            ws_c = ws_c + jnp.einsum(
                 "bown,bow,bowm->wnm", self.obs_jac, r_obs, self.obs_jac
             , precision=_HI)
-            M_diag = M_diag.at[:, :N, :N].add(obs_c)
+        M_diag = M_diag + jnp.pad(ws_c, ((0, 0), (0, N), (0, N)))
         return M_diag, M_lower
 
     def kkt_factor(self, rho_vec, sigma):

@@ -1,0 +1,466 @@
+"""Lane-major (batch-last) batched ADMM driver — zero-relayout hot loop.
+
+Same OSQP semantics as :mod:`osqp_solver_tpu.ops.admm` (Ruiz equilibration,
+σ/ρ reduced-KKT, projection, α=1.6 over-relaxation, per-row ρ with
+per-problem adaptation, OSQP-default termination, infeasibility
+certificates — reference anchor ``/root/reference/src/osqp-wrapper.h`` and
+SURVEY §2.2), but the batch axis lives *last* on every array so the whole
+loop runs in the Pallas factor/solve kernels' native (sublane, lane) layout:
+
+* ``vmap``-free: reductions are explicit ``axis=0`` (row axis), per-problem
+  scalars are ``(B,)`` vectors;
+* no ``custom_vmap`` relayout at kernel boundaries — at batch 1024 those
+  transposes cost ~3.6 ms per 59 MB operand and dominated both the
+  per-iteration KKT solve and every ρ-adapt refactor of the vmapped path;
+* ρ-adapt refactors assemble the KKT directly in lane layout
+  (``LaneTrajectoryQP.kkt_blocks``) and feed ``factor_lane_major`` with no
+  intermediate relayout.
+
+Parity with the vmapped driver is pinned by ``tests/test_admm_lane.py``.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .admm import (
+    DIV_TOL,
+    INF_THRESHOLD,
+    RHO_MAX,
+    RHO_MIN,
+    Settings,
+    SolveResult,
+    _rho_vec,
+)
+from .ruiz import MAX_SCALING, MIN_SCALING, Scaling, _limit
+from .status import ExitCode
+
+
+# ---------------------------------------------------------------------------
+# Ruiz equilibration, batch-last
+# ---------------------------------------------------------------------------
+
+
+def ruiz_equilibrate_lane(qp, iters: int = 10):
+    """Batch-last Ruiz (OSQP ``scaling.c`` semantics — see
+    :func:`osqp_solver_tpu.ops.ruiz.ruiz_equilibrate`): per-problem scalars
+    are ``(B,)``, reductions run over the row axis."""
+    dtype = qp.q.dtype
+    B = qp.q.shape[-1]
+    D = jnp.ones((qp.n, B), dtype)
+    E = jnp.ones((qp.m, B), dtype)
+    c = jnp.ones((B,), dtype)
+
+    scaled = qp
+    for _ in range(iters):
+        cols_x = jnp.maximum(scaled.P_col_absmax(), scaled.A_col_absmax())
+        rows_a = scaled.A_row_absmax()
+        D = D * (1.0 / jnp.sqrt(_limit(cols_x)))
+        E = E * (1.0 / jnp.sqrt(_limit(rows_a)))
+        scaled = qp.scale_data(D, E, c)
+
+        p_cols = _limit(scaled.P_col_absmax())
+        gamma = 1.0 / _limit(
+            jnp.maximum(
+                jnp.mean(p_cols, axis=0), jnp.max(jnp.abs(scaled.q), axis=0)
+            )
+        )
+        c = c * gamma
+        scaled = qp.scale_data(D, E, c)
+
+    scaling = Scaling(D=D, E=E, c=c, Dinv=1.0 / D, Einv=1.0 / E, cinv=1.0 / c)
+    return scaled, scaling
+
+
+# ---------------------------------------------------------------------------
+# State
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class LaneADMMState:
+    x: jnp.ndarray  # (n, B) scaled primal
+    z: jnp.ndarray  # (m, B)
+    y: jnp.ndarray  # (m, B)
+    dx: jnp.ndarray
+    dy: jnp.ndarray
+    rho_bar: jnp.ndarray  # (B,)
+    rho_vec: jnp.ndarray  # (m, B)
+    factor: object
+    iterations: jnp.ndarray  # (B,) int32
+    status: jnp.ndarray  # (B,) int32
+    done: jnp.ndarray  # (B,) bool
+    prim_res: jnp.ndarray  # (B,)
+    dual_res: jnp.ndarray  # (B,)
+
+
+def _norm0(v):
+    """Per-problem inf-norm over the row axis: (m, B) → (B,)."""
+    return jnp.max(jnp.abs(v), axis=0)
+
+
+def init_state_lane(
+    scaled,
+    settings: Settings,
+    warm_x: Optional[jnp.ndarray] = None,
+    warm_y: Optional[jnp.ndarray] = None,
+    scaling: Optional[Scaling] = None,
+    rho_bar: Optional[jnp.ndarray] = None,
+    factor=None,
+) -> LaneADMMState:
+    """Cold/warm start; ``warm_x``/``warm_y`` are unscaled ``(n|m, B)``."""
+    dtype = scaled.q.dtype
+    n, B = scaled.q.shape
+    m = scaled.l.shape[0]
+    if warm_x is None:
+        x = jnp.zeros((n, B), dtype)
+        z = jnp.zeros((m, B), dtype)
+    else:
+        x = scaling.Dinv * jnp.asarray(warm_x, dtype)
+        z = scaled.A_matvec(x)
+    if warm_y is None:
+        y = jnp.zeros((m, B), dtype)
+    else:
+        y = scaling.c * scaling.Einv * jnp.asarray(warm_y, dtype)
+
+    if rho_bar is None:
+        rho_bar = jnp.full((B,), settings.rho, dtype)
+    rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
+    if factor is None:
+        factor = scaled.kkt_factor(rho_vec, settings.sigma)
+    return LaneADMMState(
+        x=x,
+        z=z,
+        y=y,
+        dx=jnp.zeros((n, B), dtype),
+        dy=jnp.zeros((m, B), dtype),
+        rho_bar=rho_bar,
+        rho_vec=rho_vec,
+        factor=factor,
+        iterations=jnp.zeros((B,), jnp.int32),
+        status=jnp.full((B,), ExitCode.kUnknown, jnp.int32),
+        done=jnp.zeros((B,), bool),
+        prim_res=jnp.full((B,), jnp.inf, dtype),
+        dual_res=jnp.full((B,), jnp.inf, dtype),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iteration / termination / adaptation
+# ---------------------------------------------------------------------------
+
+
+def _kkt_solve(scaled, factor, rhs, settings: Settings, rho_vec=None):
+    x = scaled.kkt_solve(factor, rhs)
+    if settings.kkt_refine and rho_vec is not None:
+        for _ in range(settings.kkt_refine):
+            resid = rhs - (
+                scaled.P_matvec(x)
+                + settings.sigma * x
+                + scaled.AT_matvec(rho_vec * scaled.A_matvec(x))
+            )
+            x = x + scaled.kkt_solve(factor, resid)
+    return x
+
+
+def _iteration(scaled, st: LaneADMMState, factor, settings: Settings):
+    sigma, alpha = settings.sigma, settings.alpha
+    rhs = sigma * st.x - scaled.q + scaled.AT_matvec(st.rho_vec * st.z - st.y)
+    xt = _kkt_solve(scaled, factor, rhs, settings, rho_vec=st.rho_vec)
+    zt = scaled.A_matvec(xt)
+
+    x_new = alpha * xt + (1.0 - alpha) * st.x
+    z_tmp = alpha * zt + (1.0 - alpha) * st.z
+    z_new = jnp.clip(z_tmp + st.y / st.rho_vec, scaled.l, scaled.u)
+    y_new = st.y + st.rho_vec * (z_tmp - z_new)
+
+    keep = st.done  # (B,) broadcasts against (rows, B)
+
+    def sel(new, old):
+        return jnp.where(keep, old, new)
+
+    return st.replace(
+        x=sel(x_new, st.x),
+        z=sel(z_new, st.z),
+        y=sel(y_new, st.y),
+        dx=sel(x_new - st.x, st.dx),
+        dy=sel(y_new - st.y, st.dy),
+        iterations=st.iterations + jnp.where(keep, 0, 1).astype(jnp.int32),
+    )
+
+
+def _termination(base, scaled, scaling: Scaling, st: LaneADMMState, settings: Settings):
+    """Per-problem OSQP termination + infeasibility certificates, batch-last
+    (mirrors ``admm._termination``; reductions over the row axis)."""
+    Einv, Dinv, cinv = scaling.Einv, scaling.Dinv, scaling.cinv
+
+    Ax = scaled.A_matvec(st.x)
+    Px = scaled.P_matvec(st.x)
+    ATy = scaled.AT_matvec(st.y)
+
+    prim_res = _norm0(Einv * (Ax - st.z))
+    dual_res = cinv * _norm0(Dinv * (Px + scaled.q + ATy))
+    prim_norm = jnp.maximum(_norm0(Einv * Ax), _norm0(Einv * st.z))
+    dual_norm = cinv * jnp.maximum(
+        jnp.maximum(_norm0(Dinv * Px), _norm0(Dinv * ATy)),
+        _norm0(Dinv * scaled.q),
+    )
+
+    eps_prim = settings.eps_abs + settings.eps_rel * prim_norm
+    eps_dual = settings.eps_abs + settings.eps_rel * dual_norm
+    solved = (prim_res <= eps_prim) & (dual_res <= eps_dual)
+    solved_inacc = (prim_res <= 10 * eps_prim) & (dual_res <= 10 * eps_dual)
+
+    # --- infeasibility certificates on unscaled deltas ----------------------
+    dy_u = cinv * scaling.E * st.dy
+    dx_u = scaling.D * st.dx
+    norm_dy = _norm0(dy_u)
+    norm_dx = _norm0(dx_u)
+
+    loose_u = base.u >= INF_THRESHOLD
+    loose_l = base.l <= -INF_THRESHOLD
+
+    eps_p = settings.eps_prim_inf * norm_dy
+    At_dy = base.AT_matvec(dy_u)
+    dy_pos = jnp.maximum(dy_u, 0.0)
+    dy_neg = jnp.minimum(dy_u, 0.0)
+    support = jnp.sum(
+        jnp.where(loose_u, 0.0, base.u * dy_pos)
+        + jnp.where(loose_l, 0.0, base.l * dy_neg),
+        axis=0,
+    )
+    inf_dir_ok = jnp.all(
+        jnp.where(loose_u, dy_pos <= eps_p, True)
+        & jnp.where(loose_l, -dy_neg <= eps_p, True),
+        axis=0,
+    )
+    prim_inf = (
+        (norm_dy > settings.eps_prim_inf)
+        & (_norm0(At_dy) <= eps_p)
+        & (support <= -eps_p)
+        & inf_dir_ok
+    )
+
+    eps_d = settings.eps_dual_inf * norm_dx
+    P_dx = base.P_matvec(dx_u)
+    A_dx = base.A_matvec(dx_u)
+    cone_ok = jnp.all(
+        (loose_u | (A_dx <= eps_d)) & (loose_l | (A_dx >= -eps_d)), axis=0
+    )
+    dual_inf = (
+        (norm_dx > settings.eps_dual_inf)
+        & (_norm0(P_dx) <= eps_d)
+        & (jnp.sum(base.q * dx_u, axis=0) <= -eps_d)
+        & cone_ok
+    )
+
+    blew_up = ~jnp.isfinite(jnp.sum(st.x, axis=0) + jnp.sum(st.y, axis=0))
+
+    at_max = st.iterations >= settings.max_iter
+    new_status = jnp.where(
+        blew_up,
+        ExitCode.kNonConvex,
+        jnp.where(
+            solved,
+            ExitCode.kOptimal,
+            jnp.where(
+                prim_inf,
+                ExitCode.kPrimalInfeasible,
+                jnp.where(
+                    dual_inf,
+                    ExitCode.kDualInfeasible,
+                    jnp.where(
+                        at_max,
+                        jnp.where(
+                            solved_inacc,
+                            ExitCode.kOptimalInaccurate,
+                            ExitCode.kMaxIterations,
+                        ),
+                        ExitCode.kUnknown,
+                    ),
+                ),
+            ),
+        ),
+    ).astype(jnp.int32)
+    newly_done = solved | prim_inf | dual_inf | at_max | blew_up
+
+    st = st.replace(
+        status=jnp.where(st.done, st.status, new_status),
+        done=st.done | newly_done,
+        prim_res=jnp.where(st.done, st.prim_res, prim_res),
+        dual_res=jnp.where(st.done, st.dual_res, dual_res),
+    )
+    return st, (prim_res, dual_res, prim_norm, dual_norm)
+
+
+def _adapt_rho_decision(st: LaneADMMState, norms, settings: Settings):
+    prim_res, dual_res, prim_norm, dual_norm = norms
+    pr = prim_res / jnp.maximum(prim_norm, DIV_TOL)
+    dr = dual_res / jnp.maximum(dual_norm, DIV_TOL)
+    new_rho = jnp.clip(
+        st.rho_bar * jnp.sqrt(pr / jnp.maximum(dr, DIV_TOL)), RHO_MIN, RHO_MAX
+    )
+    tol = settings.adaptive_rho_tolerance
+    adapt = (~st.done) & (
+        (new_rho > tol * st.rho_bar) | (new_rho < st.rho_bar / tol)
+    )
+    return new_rho, adapt
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+
+def solve_batched_lane(
+    qps,
+    settings: Settings = Settings(),
+    warm_x: Optional[jnp.ndarray] = None,
+    warm_y: Optional[jnp.ndarray] = None,
+) -> SolveResult:
+    """Batched solve in lane-major layout.
+
+    ``qps``: a :class:`~osqp_solver_tpu.gomp.trajectory_qp_lane.LaneTrajectoryQP`
+    (batch-last), or a batch-leading ``TrajectoryQP`` pytree (converted once
+    up front).  ``warm_x``/``warm_y`` are batch-leading ``(B, n)``/``(B, m)``
+    like :func:`osqp_solver_tpu.ops.admm.solve_batched` takes.  Returns a
+    batch-leading :class:`SolveResult` (same contract as ``solve_batched``);
+    per-problem adaptive ρ follows the same any-adapt-gated batched refactor.
+    Direct KKT backend only (the CG path stays on the vmapped driver).
+    """
+    from ..gomp.trajectory_qp_lane import LaneTrajectoryQP, to_lane
+
+    if not isinstance(qps, LaneTrajectoryQP):
+        qps = to_lane(qps)
+    if settings.kkt_method != "direct":
+        raise NotImplementedError(
+            "solve_batched_lane supports the direct KKT backend only; "
+            "use ops.admm.solve_batched for kkt_method='cg'."
+        )
+
+    base = qps
+    if settings.scaling > 0:
+        scaled, scaling = ruiz_equilibrate_lane(base, settings.scaling)
+    else:
+        n, B = base.q.shape
+        m = base.l.shape[0]
+        dtype = base.q.dtype
+        one = jnp.ones((B,), dtype)
+        ones_n = jnp.ones((n, B), dtype)
+        ones_m = jnp.ones((m, B), dtype)
+        scaling = Scaling(
+            D=ones_n, E=ones_m, c=one, Dinv=ones_n, Einv=ones_m, cinv=one
+        )
+        scaled = base
+
+    wx = None if warm_x is None else jnp.moveaxis(jnp.asarray(warm_x), 0, -1)
+    wy = None if warm_y is None else jnp.moveaxis(jnp.asarray(warm_y), 0, -1)
+    st = init_state_lane(scaled, settings, wx, wy, scaling)
+
+    def cond(st):
+        return jnp.any((~st.done) & (st.iterations < settings.max_iter))
+
+    def chunk(st):
+        # Factor constant within a chunk — keep it out of the carry.
+        factor = st.factor
+        st = jax.lax.fori_loop(
+            0,
+            settings.check_termination,
+            lambda i, s: _iteration(scaled, s.replace(factor=None), factor, settings),
+            st.replace(factor=None),
+        ).replace(factor=factor)
+        st, norms = _termination(base, scaled, scaling, st, settings)
+        if settings.adaptive_rho:
+            interval = max(
+                settings.adaptive_rho_interval, settings.check_termination
+            )
+            at_interval = (st.iterations % interval) < settings.check_termination
+            new_rho, adapt = _adapt_rho_decision(st, norms, settings)
+            adapt = adapt & at_interval
+
+            def do_adapt(st):
+                rho_bar = jnp.where(adapt, new_rho, st.rho_bar)
+                rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
+                factor = scaled.kkt_factor(rho_vec, settings.sigma)
+                return st.replace(
+                    rho_bar=rho_bar, rho_vec=rho_vec, factor=factor
+                )
+
+            st = jax.lax.cond(jnp.any(adapt), do_adapt, lambda s: s, st)
+        return st
+
+    st = jax.lax.while_loop(cond, chunk, st)
+    if settings.polish:
+        st = _polish(base, scaled, scaling, st, settings)
+    return _finalize(base, scaling, st)
+
+
+def _polish(base, scaled, scaling: Scaling, st: LaneADMMState, settings: Settings):
+    """Lane-major OSQP-style polish (mirrors ``admm.polish``)."""
+    delta = settings.polish_delta
+    z_u = scaling.Einv * st.z
+    y_u = scaling.cinv * scaling.E * st.y
+    l_u = scaling.Einv * scaled.l
+    u_u = scaling.Einv * scaled.u
+    act_low = (z_u - l_u) < -y_u
+    act_upp = (u_u - z_u) < y_u
+    active = act_low | act_upp
+    z_target = jnp.where(act_low, scaled.l, jnp.where(act_upp, scaled.u, st.z))
+    rho_pol = jnp.where(active, 1.0 / delta, delta)
+
+    factor = scaled.kkt_factor(rho_pol, settings.sigma)
+    rhs = -scaled.q + scaled.AT_matvec(rho_pol * z_target)
+    x = scaled.kkt_solve(factor, rhs)
+    for _ in range(settings.polish_refine_iter):
+        resid = rhs - (
+            scaled.P_matvec(x)
+            + settings.sigma * x
+            + scaled.AT_matvec(rho_pol * scaled.A_matvec(x))
+        )
+        x = x + scaled.kkt_solve(factor, resid)
+    Ax = scaled.A_matvec(x)
+    y = jnp.where(active, rho_pol * (Ax - z_target), 0.0)
+    z = jnp.where(active, z_target, Ax)
+
+    prim = _norm0(scaling.Einv * (Ax - z))
+    dual = scaling.cinv * _norm0(
+        scaling.Dinv * (scaled.P_matvec(x) + scaled.q + scaled.AT_matvec(y))
+    )
+    better = (prim <= st.prim_res) & (dual <= st.dual_res) & (
+        st.status == ExitCode.kOptimal
+    )
+    sel = lambda new, old: jnp.where(better, new, old)
+    return st.replace(
+        x=sel(x, st.x),
+        z=sel(z, st.z),
+        y=sel(y, st.y),
+        prim_res=sel(prim, st.prim_res),
+        dual_res=sel(dual, st.dual_res),
+    )
+
+
+def _finalize(base, scaling: Scaling, st: LaneADMMState) -> SolveResult:
+    """Unscale and package a batch-leading :class:`SolveResult`."""
+    x = scaling.D * st.x
+    y = scaling.cinv * scaling.E * st.y
+    z = scaling.Einv * st.z
+    status = jnp.where(
+        st.done, st.status, jnp.full_like(st.status, ExitCode.kMaxIterations)
+    )
+    obj = 0.5 * jnp.sum(x * base.P_matvec(x), axis=0) + jnp.sum(
+        base.q * x, axis=0
+    )
+    return SolveResult(
+        x=x.T,
+        y=y.T,
+        z=z.T,
+        status=status,
+        iterations=st.iterations,
+        prim_res=st.prim_res,
+        dual_res=st.dual_res,
+        rho=st.rho_bar,
+        obj_val=obj,
+    )

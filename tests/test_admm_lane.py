@@ -1,0 +1,251 @@
+"""Lane-major (batch-last) ADMM driver parity vs the vmapped batch-leading path.
+
+The lane containers/driver (`gomp/trajectory_qp_lane.py`, `ops/admm_lane.py`)
+must reproduce the vmapped reference path (`ops/admm.py::solve_batched`)
+operator-for-operator and solve-for-solve: same OSQP semantics
+(/root/reference/src/osqp-wrapper.h), different memory layout.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osqp_solver_tpu import RobotBall
+from osqp_solver_tpu.gomp.geometry import HorizontalLine
+from osqp_solver_tpu.gomp.trajectory import calc_warm_start_jnp
+from osqp_solver_tpu.gomp.trajectory_qp import (
+    empty_trajectory_qp,
+    linearize_workspace,
+    with_gomp_boxes,
+)
+from osqp_solver_tpu.gomp.trajectory_qp_lane import to_lane
+from osqp_solver_tpu.ops import admm
+from osqp_solver_tpu.ops.admm_lane import (
+    init_state_lane,
+    ruiz_equilibrate_lane,
+    solve_batched_lane,
+)
+from osqp_solver_tpu.ops.ruiz import ruiz_equilibrate
+from osqp_solver_tpu.ops.status import ExitCode
+
+W, N, B = 8, 3, 4
+RNG = np.random.default_rng(7)
+JAC0 = RNG.normal(size=(3, N))
+
+
+def make_balls():
+    fk0 = lambda s: 0.1 * jnp.array([jnp.sum(s), jnp.sum(s**2), s[0]])
+    jac0 = lambda s: jnp.asarray(JAC0, s.dtype) + 0.01 * s[None, :]
+    fk1 = lambda s: s[:3]
+    jac1 = lambda s: jnp.eye(3, N, dtype=s.dtype)
+    return (
+        RobotBall(fk=fk0, jacobian=jac0, radius=0.15, is_gripper=False),
+        RobotBall(fk=fk1, jacobian=jac1, radius=0.05, is_gripper=True),
+    )
+
+
+def build_batch(honest=True, dtype=jnp.float64, tight_obstacle=False):
+    balls = make_balls()
+    if honest and tight_obstacle:
+        obstacles = [HorizontalLine.create((0.0, 1.0), (0.35, 0.0, 0.15))]
+    elif honest:
+        # Far away: obstacle rows stay dummy (±INF) but the row structure and
+        # gripper workspace rows are live — feasible for the fake kinematics.
+        obstacles = [HorizontalLine.create((0.0, 1.0), (100.0, 100.0, 0.15))]
+    else:
+        obstacles = []
+    con3d = (jnp.full(3, -50.0, dtype), jnp.full(3, 50.0, dtype))
+    pos = (jnp.full(N, -10.0, dtype), jnp.full(N, 10.0, dtype))
+    vel = (jnp.full(N, -1.0, dtype), jnp.full(N, 1.0, dtype))
+    acc = (jnp.full(N, -2.0, dtype), jnp.full(N, 2.0, dtype))
+    flags = (False, True) if honest else ()
+    base = empty_trajectory_qp(
+        W, N, gripper_flags=flags, n_obstacles=len(obstacles), dtype=dtype
+    )
+
+    def one(i):
+        start = 0.02 * jnp.sin(jnp.arange(N, dtype=dtype) + i)
+        end = 1.0 + 0.02 * jnp.cos(jnp.arange(N, dtype=dtype) * 1.3 + i)
+        qp = with_gomp_boxes(base, start, end, pos, vel, acc)
+        if honest:
+            warm = calc_warm_start_jnp(start, end, W)
+            qp = linearize_workspace(qp, balls, obstacles, con3d, warm)
+        return qp
+
+    return jax.vmap(one)(jnp.arange(B, dtype=dtype))
+
+
+def bl(x):
+    """batch-last -> batch-leading for comparison."""
+    return np.moveaxis(np.asarray(x), -1, 0)
+
+
+@pytest.fixture(scope="module")
+def batches():
+    qps = build_batch(honest=True)
+    return qps, to_lane(qps)
+
+
+def test_vectors_roundtrip(batches):
+    qps, lane = batches
+    np.testing.assert_array_equal(bl(lane.l), np.asarray(jax.vmap(lambda q: q.l)(qps)))
+    np.testing.assert_array_equal(bl(lane.u), np.asarray(jax.vmap(lambda q: q.u)(qps)))
+    np.testing.assert_array_equal(bl(lane.q), np.asarray(jax.vmap(lambda q: q.q)(qps)))
+
+
+def test_matvecs_match(batches):
+    qps, lane = batches
+    x = jnp.asarray(RNG.normal(size=(B, lane.n)))
+    y = jnp.asarray(RNG.normal(size=(B, lane.m)))
+    xl = jnp.moveaxis(x, 0, -1)
+    yl = jnp.moveaxis(y, 0, -1)
+    np.testing.assert_allclose(
+        bl(lane.A_matvec(xl)), np.asarray(jax.vmap(lambda q, v: q.A_matvec(v))(qps, x)),
+        rtol=1e-12, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        bl(lane.AT_matvec(yl)), np.asarray(jax.vmap(lambda q, v: q.AT_matvec(v))(qps, y)),
+        rtol=1e-12, atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        bl(lane.P_matvec(xl)), np.asarray(jax.vmap(lambda q, v: q.P_matvec(v))(qps, x)),
+        rtol=1e-12, atol=1e-12,
+    )
+
+
+def test_norms_match(batches):
+    qps, lane = batches
+    np.testing.assert_allclose(
+        bl(lane.A_col_absmax()), np.asarray(jax.vmap(lambda q: q.A_col_absmax())(qps)),
+        rtol=1e-14,
+    )
+    np.testing.assert_allclose(
+        bl(lane.A_row_absmax()), np.asarray(jax.vmap(lambda q: q.A_row_absmax())(qps)),
+        rtol=1e-14,
+    )
+    np.testing.assert_allclose(
+        bl(lane.P_col_absmax()), np.asarray(jax.vmap(lambda q: q.P_col_absmax())(qps)),
+        rtol=1e-14,
+    )
+
+
+def test_scale_and_kkt_blocks_match(batches):
+    qps, lane = batches
+    D = jnp.asarray(np.exp(0.1 * RNG.normal(size=(B, lane.n))))
+    E = jnp.asarray(np.exp(0.1 * RNG.normal(size=(B, lane.m))))
+    c = jnp.asarray(np.exp(0.1 * RNG.normal(size=B)))
+    rho = jnp.asarray(np.exp(RNG.normal(size=(B, lane.m))))
+    sigma = 1e-6
+
+    sc_ref = jax.vmap(lambda q, d, e, cc: q.scale_data(d, e, cc))(qps, D, E, c)
+    sc_lane = lane.scale_data(
+        jnp.moveaxis(D, 0, -1), jnp.moveaxis(E, 0, -1), c
+    )
+    d_ref, l_ref = jax.vmap(lambda q, r: q.kkt_blocks(r, sigma))(sc_ref, rho)
+    d_lane, l_lane = sc_lane.kkt_blocks(jnp.moveaxis(rho, 0, -1), sigma)
+    np.testing.assert_allclose(bl(d_lane), np.asarray(d_ref), rtol=1e-10, atol=1e-10)
+    np.testing.assert_allclose(bl(l_lane), np.asarray(l_ref), rtol=1e-10, atol=1e-10)
+
+
+def test_kkt_factor_solve_match(batches):
+    qps, lane = batches
+    rho = jnp.asarray(np.exp(RNG.normal(size=(B, lane.m))))
+    sigma = 1e-6
+    rhs = jnp.asarray(RNG.normal(size=(B, lane.n)))
+    f_ref = jax.vmap(lambda q, r: q.kkt_factor(r, sigma))(qps, rho)
+    x_ref = jax.vmap(lambda q, f, b: q.kkt_solve(f, b))(qps, f_ref, rhs)
+    f_lane = lane.kkt_factor(jnp.moveaxis(rho, 0, -1), sigma)
+    x_lane = lane.kkt_solve(f_lane, jnp.moveaxis(rhs, 0, -1))
+    np.testing.assert_allclose(bl(x_lane), np.asarray(x_ref), rtol=1e-9, atol=1e-9)
+
+
+def test_ruiz_match(batches):
+    qps, lane = batches
+    sc_ref, s_ref = jax.vmap(lambda q: ruiz_equilibrate(q, 10))(qps)
+    sc_lane, s_lane = ruiz_equilibrate_lane(lane, 10)
+    np.testing.assert_allclose(bl(s_lane.D), np.asarray(s_ref.D), rtol=1e-12)
+    np.testing.assert_allclose(bl(s_lane.E), np.asarray(s_ref.E), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(s_lane.c), np.asarray(s_ref.c), rtol=1e-12)
+    np.testing.assert_allclose(
+        bl(sc_lane.l), np.asarray(jax.vmap(lambda q: q.l)(sc_ref)),
+        rtol=1e-12, atol=1e-14,
+    )
+    np.testing.assert_allclose(
+        bl(sc_lane.q), np.asarray(jax.vmap(lambda q: q.q)(sc_ref)),
+        rtol=1e-12, atol=1e-14,
+    )
+
+
+@pytest.mark.parametrize("honest", [True, False])
+def test_solve_parity(honest):
+    qps = build_batch(honest=honest)
+    lane_res = solve_batched_lane(qps)
+    ref_res = admm.solve_batched(qps)
+    np.testing.assert_array_equal(
+        np.asarray(lane_res.status), np.asarray(ref_res.status)
+    )
+    assert np.all(np.asarray(ref_res.status) == ExitCode.kOptimal)
+    np.testing.assert_array_equal(
+        np.asarray(lane_res.iterations), np.asarray(ref_res.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(lane_res.x), np.asarray(ref_res.x), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(lane_res.obj_val), np.asarray(ref_res.obj_val), rtol=1e-6
+    )
+
+
+def test_solve_parity_infeasible():
+    """A line obstacle the fake kinematics cannot bypass: both drivers must
+    agree on the non-optimal statuses too."""
+    qps = build_batch(honest=True, tight_obstacle=True)
+    lane_res = solve_batched_lane(qps)
+    ref_res = admm.solve_batched(qps)
+    np.testing.assert_array_equal(
+        np.asarray(lane_res.status), np.asarray(ref_res.status)
+    )
+    assert np.all(np.asarray(ref_res.status) != ExitCode.kOptimal)
+    np.testing.assert_array_equal(
+        np.asarray(lane_res.iterations), np.asarray(ref_res.iterations)
+    )
+
+
+def test_solve_parity_warm_start():
+    qps = build_batch(honest=True)
+    warm = jax.vmap(
+        lambda i: calc_warm_start_jnp(
+            0.02 * jnp.sin(jnp.arange(N, dtype=jnp.float64) + i),
+            1.0 + 0.02 * jnp.cos(jnp.arange(N, dtype=jnp.float64) * 1.3 + i),
+            W,
+        )
+    )(jnp.arange(B, dtype=jnp.float64))
+    lane_res = solve_batched_lane(qps, warm_x=warm)
+    ref_res = admm.solve_batched(qps, warm_x=warm)
+    np.testing.assert_array_equal(
+        np.asarray(lane_res.status), np.asarray(ref_res.status)
+    )
+    np.testing.assert_allclose(
+        np.asarray(lane_res.x), np.asarray(ref_res.x), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_solve_parity_no_polish_no_scaling():
+    qps = build_batch(honest=False)
+    settings = dataclasses.replace(admm.Settings(), polish=False, scaling=0)
+    lane_res = solve_batched_lane(qps, settings)
+    ref_res = admm.solve_batched(qps, settings)
+    np.testing.assert_array_equal(
+        np.asarray(lane_res.status), np.asarray(ref_res.status)
+    )
+    np.testing.assert_allclose(
+        np.asarray(lane_res.x), np.asarray(ref_res.x), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_jit_solve_lane():
+    qps = build_batch(honest=True)
+    lane_res = jax.jit(lambda q: solve_batched_lane(q))(qps)
+    assert np.all(np.asarray(lane_res.status) == ExitCode.kOptimal)
