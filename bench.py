@@ -73,7 +73,13 @@ def build_honest_batch(batch, W, N, dtype):
         warm = calc_warm_start_jnp(start, end, W)
         return linearize_workspace(qp, balls, obstacles, con3d, warm)
 
-    return jax.jit(jax.vmap(one))(jnp.arange(batch, dtype=dtype))
+    # out_axes=-1: the vmapped assembly writes the batch-trailing (lane-major)
+    # layout directly — the whole solve then runs with zero relayouts.
+    from osqp_solver_tpu.gomp.trajectory_qp_lane import from_trailing
+
+    return from_trailing(
+        jax.jit(jax.vmap(one, out_axes=-1))(jnp.arange(batch, dtype=dtype))
+    )
 
 
 def build_box_batch(batch, W, N, dtype):
@@ -95,7 +101,11 @@ def build_box_batch(batch, W, N, dtype):
         end = 1.0 + 0.02 * jnp.cos(jnp.arange(N, dtype=dtype) * 1.3 + i)
         return with_gomp_boxes(base, start, end, pos, vel, acc)
 
-    return jax.vmap(one)(jnp.arange(batch, dtype=dtype))
+    from osqp_solver_tpu.gomp.trajectory_qp_lane import from_trailing
+
+    return from_trailing(
+        jax.vmap(one, out_axes=-1)(jnp.arange(batch, dtype=dtype))
+    )
 
 
 def main():
@@ -111,6 +121,7 @@ def main():
     import jax.numpy as jnp
 
     from osqp_solver_tpu.ops import admm
+    from osqp_solver_tpu.ops.admm_lane import solve_batched_lane
 
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
@@ -134,7 +145,7 @@ def main():
     def measure(qps, label, reps=10):
         @jax.jit
         def solve_all(qps):
-            res = admm.solve_batched(qps, settings)
+            res = solve_batched_lane(qps, settings)
             return res.x, res.status, res.iterations, res.prim_res, res.dual_res
 
         t0 = time.time()

@@ -420,26 +420,39 @@ class LaneFactor:
     gain: jnp.ndarray  # (W-1, 2N, 2N, B)
 
 
-def to_lane(qps) -> LaneTrajectoryQP:
-    """Convert a batch-leading ``TrajectoryQP`` pytree (as built by ``vmap``
-    over constructors) into the lane-major container — one relayout, paid
-    once per problem batch instead of per kernel call."""
-    fields = {
-        k: jnp.moveaxis(v, 0, -1)
-        for k, v in {
-            "P_diag": qps.P_diag, "P_lower": qps.P_lower, "q_vec": qps.q_vec,
-            "dyn_coef": qps.dyn_coef, "dyn_l": qps.dyn_l, "dyn_u": qps.dyn_u,
-            "pos_coef": qps.pos_coef, "pos_l": qps.pos_l, "pos_u": qps.pos_u,
-            "vel_coef": qps.vel_coef, "vel_l": qps.vel_l, "vel_u": qps.vel_u,
-            "acc_coef": qps.acc_coef, "acc_l": qps.acc_l, "acc_u": qps.acc_u,
-            "ws_jac": qps.ws_jac, "ws_l": qps.ws_l, "ws_u": qps.ws_u,
-            "obs_jac": qps.obs_jac, "obs_l": qps.obs_l, "obs_u": qps.obs_u,
-        }.items()
-    }
+_ARRAY_FIELDS = (
+    "P_diag", "P_lower", "q_vec",
+    "dyn_coef", "dyn_l", "dyn_u",
+    "pos_coef", "pos_l", "pos_u",
+    "vel_coef", "vel_l", "vel_u",
+    "acc_coef", "acc_l", "acc_u",
+    "ws_jac", "ws_l", "ws_u",
+    "obs_jac", "obs_l", "obs_u",
+)
+
+
+def from_trailing(qps) -> LaneTrajectoryQP:
+    """Wrap a ``TrajectoryQP`` pytree whose array leaves are already
+    batch-*trailing* (built with ``jax.vmap(build_one, out_axes=-1)``) —
+    zero-relayout lane construction: the vmapped assembly writes the lane
+    layout directly."""
     return LaneTrajectoryQP(
         waypoints=qps.waypoints,
         n_dim=qps.n_dim,
         gripper_flags=qps.gripper_flags,
         n_obstacles=qps.n_obstacles,
-        **fields,
+        **{k: getattr(qps, k) for k in _ARRAY_FIELDS},
+    )
+
+
+def to_lane(qps) -> LaneTrajectoryQP:
+    """Convert a batch-leading ``TrajectoryQP`` pytree (as built by ``vmap``
+    over constructors) into the lane-major container — one relayout, paid
+    once per problem batch instead of per kernel call."""
+    return LaneTrajectoryQP(
+        waypoints=qps.waypoints,
+        n_dim=qps.n_dim,
+        gripper_flags=qps.gripper_flags,
+        n_obstacles=qps.n_obstacles,
+        **{k: jnp.moveaxis(getattr(qps, k), 0, -1) for k in _ARRAY_FIELDS},
     )

@@ -245,6 +245,33 @@ def test_solve_parity_no_polish_no_scaling():
     )
 
 
+def test_from_trailing_matches_to_lane():
+    """vmap(out_axes=-1) + from_trailing builds the identical lane container
+    as batch-leading build + to_lane, with zero relayout."""
+    from osqp_solver_tpu.gomp.trajectory_qp_lane import from_trailing
+
+    balls = make_balls()
+    obstacles = [HorizontalLine.create((0.0, 1.0), (100.0, 100.0, 0.15))]
+    con3d = (jnp.full(3, -50.0), jnp.full(3, 50.0))
+    pos = (jnp.full(N, -10.0), jnp.full(N, 10.0))
+    vel = (jnp.full(N, -1.0), jnp.full(N, 1.0))
+    acc = (jnp.full(N, -2.0), jnp.full(N, 2.0))
+    base = empty_trajectory_qp(W, N, gripper_flags=(False, True), n_obstacles=1)
+
+    def one(i):
+        start = 0.02 * jnp.sin(jnp.arange(N, dtype=jnp.float64) + i)
+        end = 1.0 + 0.02 * jnp.cos(jnp.arange(N, dtype=jnp.float64) * 1.3 + i)
+        qp = with_gomp_boxes(base, start, end, pos, vel, acc)
+        warm = calc_warm_start_jnp(start, end, W)
+        return linearize_workspace(qp, balls, obstacles, con3d, warm)
+
+    idx = jnp.arange(B, dtype=jnp.float64)
+    lane_t = from_trailing(jax.vmap(one, out_axes=-1)(idx))
+    lane_m = to_lane(jax.vmap(one)(idx))
+    for la, lb in zip(jax.tree.leaves(lane_t), jax.tree.leaves(lane_m)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_jit_solve_lane():
     qps = build_batch(honest=True)
     lane_res = jax.jit(lambda q: solve_batched_lane(q))(qps)
