@@ -26,6 +26,7 @@ import jax.numpy as jnp
 from flax import struct
 
 _HI = jax.lax.Precision.HIGHEST  # exact f32 accumulation (see ops/tridiag.py)
+_INF = 1e30  # matches constraints.INF (reference constraints.h:11)
 
 
 @struct.dataclass
@@ -61,6 +62,17 @@ class LaneTrajectoryQP:
     obs_l: jnp.ndarray  # (n_balls, n_obs, W, B)
     obs_u: jnp.ndarray
 
+    # Row-space layout of the flat (m, B) constraint vectors (l, u, ρ, z, y):
+    #   "type":     type-major — all dyn rows, then pos, vel, acc, ws/obs
+    #               (matches TrajectoryQP row order exactly);
+    #   "waypoint": waypoint-major — R rows per waypoint (dyn, pos, vel, acc,
+    #               ws/obs), padded to a sublane multiple, so the fused ADMM
+    #               chunk kernel streams contiguous (R, B) tiles per
+    #               waypoint.  Padding rows carry zero A-coefficients and
+    #               (−INF, INF) bounds — the reference's own dummy-row trick
+    #               (constraint-builder.h:112-116) applied to tiling.
+    row_layout: str = struct.field(pytree_node=False, default="type")
+
     # ------------------------------------------------------------ structure
 
     @property
@@ -78,6 +90,8 @@ class LaneTrajectoryQP:
     @property
     def m(self) -> int:
         W, N = self.waypoints, self.n_dim
+        if self.row_layout == "waypoint":
+            return W * self.rows_per_waypoint_padded
         return (
             (W - 1) * N
             + W * N
@@ -89,12 +103,52 @@ class LaneTrajectoryQP:
     def _rows_per_wp(self, ball: int) -> int:
         return (3 if self.gripper_flags[ball] else 0) + self.n_obstacles
 
+    @property
+    def rows_per_waypoint(self) -> int:
+        """Real constraint rows per waypoint in the waypoint-major layout."""
+        return 4 * self.n_dim + sum(
+            self._rows_per_wp(b) for b in range(self.n_balls)
+        )
+
+    @property
+    def rows_per_waypoint_padded(self) -> int:
+        """Rows per waypoint rounded up to the f32 sublane multiple (8)."""
+        return -(-self.rows_per_waypoint // 8) * 8
+
     # ---------------------------------------------------------- row packing
 
-    def _concat_rows(self, dyn, pos, vel, acc, ws, obs):
-        """Pack per-block row values into the flat (m, B) vector (same row
-        order as ``TrajectoryQP._concat_rows``)."""
+    def _concat_rows(self, dyn, pos, vel, acc, ws, obs, pad_value=0.0):
+        """Pack per-block row values into the flat (m, B) vector.
+
+        ``row_layout == "type"``: same row order as
+        ``TrajectoryQP._concat_rows``.  ``"waypoint"``: R rows per waypoint
+        (dyn, pos, vel, acc, per-ball ws/obs), padded with ``pad_value``
+        where a type has no row at that waypoint and up to the sublane
+        multiple."""
         B = dyn.shape[-1]
+        if self.row_layout == "waypoint":
+            W = self.waypoints
+
+            def padW(x, missing):
+                if not missing:
+                    return x
+                fill = jnp.full((missing,) + x.shape[1:], pad_value, x.dtype)
+                return jnp.concatenate([x, fill], axis=0)
+
+            parts = [padW(dyn, 1), pos, padW(vel, 1), padW(acc, 2)]
+            for b in range(self.n_balls):
+                if self.gripper_flags[b]:
+                    parts.append(ws[b])  # (W, 3, B)
+                if self.n_obstacles:
+                    parts.append(jnp.moveaxis(obs[b], 0, 1))  # (W, n_obs, B)
+            rows = jnp.concatenate(parts, axis=1)  # (W, R, B)
+            Rp = self.rows_per_waypoint_padded
+            if Rp > rows.shape[1]:
+                fill = jnp.full(
+                    (W, Rp - rows.shape[1], B), pad_value, rows.dtype
+                )
+                rows = jnp.concatenate([rows, fill], axis=1)
+            return rows.reshape(W * Rp, B)
         parts = [
             dyn.reshape(-1, B), pos.reshape(-1, B),
             vel.reshape(-1, B), acc.reshape(-1, B),
@@ -110,10 +164,31 @@ class LaneTrajectoryQP:
         return jnp.concatenate(parts, axis=0) if parts else dyn.reshape(-1, B)
 
     def _split_rows(self, y):
-        """Inverse of :meth:`_concat_rows`; ws/obs zero-filled for balls
-        without those rows."""
+        """Inverse of :meth:`_concat_rows` (padding dropped); ws/obs
+        zero-filled for balls without those rows."""
         W, N = self.waypoints, self.n_dim
         B = y.shape[-1]
+        if self.row_layout == "waypoint":
+            rows = y.reshape(W, self.rows_per_waypoint_padded, B)
+            dyn = rows[: W - 1, 0:N]
+            pos = rows[:, N : 2 * N]
+            vel = rows[: W - 1, 2 * N : 3 * N]
+            acc = rows[: W - 2, 3 * N : 4 * N]
+            ws = jnp.zeros((self.n_balls, W, 3, B), dtype=y.dtype)
+            obs = jnp.zeros(
+                (self.n_balls, self.n_obstacles, W, B), dtype=y.dtype
+            )
+            off = 4 * N
+            for b in range(self.n_balls):
+                if self.gripper_flags[b]:
+                    ws = ws.at[b].set(rows[:, off : off + 3])
+                    off += 3
+                if self.n_obstacles:
+                    obs = obs.at[b].set(
+                        jnp.moveaxis(rows[:, off : off + self.n_obstacles], 0, 1)
+                    )
+                    off += self.n_obstacles
+            return dyn, pos, vel, acc, ws, obs
         sizes = [(W - 1) * N, W * N, (W - 1) * N, (W - 2) * N]
         off = 0
         outs = []
@@ -145,13 +220,15 @@ class LaneTrajectoryQP:
     @property
     def l(self):
         return self._concat_rows(
-            self.dyn_l, self.pos_l, self.vel_l, self.acc_l, self.ws_l, self.obs_l
+            self.dyn_l, self.pos_l, self.vel_l, self.acc_l, self.ws_l,
+            self.obs_l, pad_value=-_INF,
         )
 
     @property
     def u(self):
         return self._concat_rows(
-            self.dyn_u, self.pos_u, self.vel_u, self.acc_u, self.ws_u, self.obs_u
+            self.dyn_u, self.pos_u, self.vel_u, self.acc_u, self.ws_u,
+            self.obs_u, pad_value=_INF,
         )
 
     @property
@@ -431,7 +508,7 @@ _ARRAY_FIELDS = (
 )
 
 
-def from_trailing(qps) -> LaneTrajectoryQP:
+def from_trailing(qps, row_layout: str = "type") -> LaneTrajectoryQP:
     """Wrap a ``TrajectoryQP`` pytree whose array leaves are already
     batch-*trailing* (built with ``jax.vmap(build_one, out_axes=-1)``) —
     zero-relayout lane construction: the vmapped assembly writes the lane
@@ -441,6 +518,7 @@ def from_trailing(qps) -> LaneTrajectoryQP:
         n_dim=qps.n_dim,
         gripper_flags=qps.gripper_flags,
         n_obstacles=qps.n_obstacles,
+        row_layout=row_layout,
         **{k: getattr(qps, k) for k in _ARRAY_FIELDS},
     )
 

@@ -77,6 +77,11 @@ class Settings:
     polish: bool = False
     polish_delta: float = 1e-6
     polish_refine_iter: int = 3
+    # Unroll factor for the inner (per-chunk) iteration loop.  A fori_loop
+    # iteration costs ~350 µs of pure carry round-trip at batch 1024 on TPU,
+    # so unrolling pays — but the best factor is problem-dependent (full
+    # unroll regresses the workspace-row class); sweep per deployment.
+    inner_unroll: int = 1
 
 
 def refine_steps_for_horizon(waypoints: int, dtype) -> int:
@@ -475,6 +480,7 @@ def run_admm(base, scaled, scaling: Scaling, st: ADMMState, settings: Settings) 
                 scaled, s.replace(factor=factor), settings
             ).replace(factor=None),
             st.replace(factor=None),
+            unroll=settings.inner_unroll,
         ).replace(factor=factor)
         st, norms = _termination(base, scaled, scaling, st, settings)
         if settings.adaptive_rho:
@@ -632,6 +638,7 @@ def solve_batched(
                 factor=None
             ),
             st.replace(factor=None),
+            unroll=settings.inner_unroll,
         ).replace(factor=factor)
         st, norms = term_fn(qps, scaled, scaling, st)
         if settings.adaptive_rho:

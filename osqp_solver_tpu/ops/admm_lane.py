@@ -366,11 +366,16 @@ def solve_batched_lane(
     def chunk(st):
         # Factor constant within a chunk — keep it out of the carry.
         factor = st.factor
+        # Fully unrolled: a fori_loop iteration costs ~350 µs of pure carry
+        # round-trip on TPU (measured at batch 1024) — more than the compute
+        # of one ADMM step; unrolling also lets XLA fuse the dual update
+        # into the next step's RHS build.
         st = jax.lax.fori_loop(
             0,
             settings.check_termination,
             lambda i, s: _iteration(scaled, s.replace(factor=None), factor, settings),
             st.replace(factor=None),
+            unroll=settings.inner_unroll,
         ).replace(factor=factor)
         st, norms = _termination(base, scaled, scaling, st, settings)
         if settings.adaptive_rho:

@@ -276,3 +276,70 @@ def test_jit_solve_lane():
     qps = build_batch(honest=True)
     lane_res = jax.jit(lambda q: solve_batched_lane(q))(qps)
     assert np.all(np.asarray(lane_res.status) == ExitCode.kOptimal)
+
+
+# ---------------------------------------------------------------------------
+# Waypoint-major row layout (the fused-chunk kernel's streaming layout)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("honest", [True, False])
+def test_waypoint_layout_roundtrip_and_operators(honest):
+    qps = build_batch(honest=honest)
+    lane = to_lane(qps)
+    wp = lane.replace(row_layout="waypoint")
+
+    # concat/split round-trips through the padded layout.
+    for name, pad in (("l", None), ("u", None)):
+        got = getattr(wp, name)
+        assert got.shape[0] == wp.m
+        back = wp._split_rows(got)
+        ref = lane._split_rows(getattr(lane, name))
+        for a, b in zip(back, ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # A_matvec in waypoint layout = repacked type-layout A_matvec.
+    x = jnp.asarray(RNG.normal(size=(lane.n, B)))
+    got = wp.A_matvec(x)
+    ref = lane.A_matvec(x)
+    np.testing.assert_allclose(
+        np.asarray(wp._concat_rows(*lane._split_rows(ref))), np.asarray(got),
+        rtol=1e-12, atol=1e-12,
+    )
+
+    # AT_matvec consumes the packed layout (padding rows inert).
+    yv = jnp.asarray(RNG.normal(size=(lane.m, B)))
+    yp = wp._concat_rows(*lane._split_rows(yv))
+    np.testing.assert_allclose(
+        np.asarray(wp.AT_matvec(yp)), np.asarray(lane.AT_matvec(yv)),
+        rtol=1e-12, atol=1e-12,
+    )
+
+    # Row norms repack consistently.
+    np.testing.assert_array_equal(
+        np.asarray(wp.A_row_absmax()),
+        np.asarray(wp._concat_rows(*lane._split_rows(lane.A_row_absmax()))),
+    )
+
+
+@pytest.mark.parametrize("honest", [True, False])
+def test_waypoint_layout_solve_parity(honest):
+    qps = build_batch(honest=honest)
+    lane = to_lane(qps)
+    wp = lane.replace(row_layout="waypoint")
+    ref = solve_batched_lane(lane)
+    got = solve_batched_lane(wp)
+    np.testing.assert_array_equal(np.asarray(got.status), np.asarray(ref.status))
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=1e-6, atol=1e-6
+    )
+    # Dual solution parity through the layout map.
+    y_ref = jnp.moveaxis(jnp.asarray(ref.y), 0, -1)
+    y_got = jnp.moveaxis(jnp.asarray(got.y), 0, -1)
+    for a, b in zip(wp._split_rows(y_got), lane._split_rows(y_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
