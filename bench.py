@@ -78,7 +78,8 @@ def build_honest_batch(batch, W, N, dtype):
     from osqp_solver_tpu.gomp.trajectory_qp_lane import from_trailing
 
     return from_trailing(
-        jax.jit(jax.vmap(one, out_axes=-1))(jnp.arange(batch, dtype=dtype))
+        jax.jit(jax.vmap(one, out_axes=-1))(jnp.arange(batch, dtype=dtype)),
+        row_layout="waypoint",  # contiguous per-waypoint rows: fused chunk kernel
     )
 
 
@@ -104,7 +105,8 @@ def build_box_batch(batch, W, N, dtype):
     from osqp_solver_tpu.gomp.trajectory_qp_lane import from_trailing
 
     return from_trailing(
-        jax.vmap(one, out_axes=-1)(jnp.arange(batch, dtype=dtype))
+        jax.vmap(one, out_axes=-1)(jnp.arange(batch, dtype=dtype)),
+        row_layout="waypoint",
     )
 
 
@@ -129,12 +131,13 @@ def main():
     dtype = jnp.float32
     BATCH, W, N = 1024, 100, 6
     # OSQP-default tolerances (eps_abs = eps_rel = 1e-3, unchanged); the
-    # termination-check cadence is a pure performance knob — with the
-    # batch-tiled kernels an iteration is cheap enough that checking every
-    # 10 (and re-evaluating ρ every 20) stops each problem ~15 iterations
-    # sooner for the same accuracy (measured: 4,399 → 5,201 QPs/s honest).
+    # termination-check cadence is a pure performance knob.  With the fused
+    # chunk kernel an iteration costs ~0.9 ms/batch while a termination check
+    # (6 matvec passes + certificates) costs ~11 ms, so the optimum moved
+    # from check-often (10) to check-rarely (30); measured sweep at batch
+    # 1024: 10→7,083, 20→8,402, 30→8,910 QPs/s, all 1024/1024 optimal.
     settings = dataclasses.replace(
-        admm.Settings(), check_termination=10, adaptive_rho_interval=20
+        admm.Settings(), check_termination=30, adaptive_rho_interval=30
     )
 
     # NOTE: synchronization is via a scalar readback (jnp.sum) rather than

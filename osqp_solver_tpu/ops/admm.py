@@ -82,6 +82,10 @@ class Settings:
     # so unrolling pays — but the best factor is problem-dependent (full
     # unroll regresses the workspace-row class); sweep per deployment.
     inner_unroll: int = 1
+    # Fused ADMM chunk kernel (ops/admm_fused.py): "auto" = on TPU when the
+    # problem is waypoint-layout/direct/no-refine and fits the VMEM budget;
+    # "on" forces it (interpret mode off-TPU — for tests); "off" disables.
+    fused_chunk: str = "auto"
 
 
 def refine_steps_for_horizon(waypoints: int, dtype) -> int:

@@ -363,20 +363,55 @@ def solve_batched_lane(
     def cond(st):
         return jnp.any((~st.done) & (st.iterations < settings.max_iter))
 
+    from .admm_fused import (
+        build_coef_pack,
+        build_lu_pack,
+        fused_admm_chunk,
+        fused_chunk_supported,
+        pack_factor,
+    )
+
+    use_fused = fused_chunk_supported(scaled, settings)
+    if use_fused:
+        # Constants per solve, computed once outside the while loop; the
+        # carried factor is packed triangular (54% of the full-block bytes —
+        # the while carry round-trips ~28 µs/MB per chunk on TPU, so carry
+        # bytes are as expensive as streamed bytes here).  dx/dy leave the
+        # carry entirely: the kernel emits the last iteration's deltas fresh
+        # each chunk (zeros for frozen problems, whose certificates are
+        # already decided), and termination consumes them within the body.
+        coef_pack = build_coef_pack(scaled)
+        lu_pack = build_lu_pack(scaled)
+        st = st.replace(
+            factor=pack_factor(scaled, st.factor), dx=None, dy=None
+        )
+
     def chunk(st):
         # Factor constant within a chunk — keep it out of the carry.
         factor = st.factor
-        # Fully unrolled: a fori_loop iteration costs ~350 µs of pure carry
-        # round-trip on TPU (measured at batch 1024) — more than the compute
-        # of one ADMM step; unrolling also lets XLA fuse the dual update
-        # into the next step's RHS build.
-        st = jax.lax.fori_loop(
-            0,
-            settings.check_termination,
-            lambda i, s: _iteration(scaled, s.replace(factor=None), factor, settings),
-            st.replace(factor=None),
-            unroll=settings.inner_unroll,
-        ).replace(factor=factor)
+        if use_fused:
+            x2, z2, y2, dx2, dy2 = fused_admm_chunk(
+                scaled, None, st.x, st.z, st.y, st.rho_vec, st.done,
+                settings, coef=coef_pack, lu=lu_pack, packed_factor=factor,
+            )
+            st = st.replace(
+                x=x2, z=z2, y=y2, dx=dx2, dy=dy2,
+                iterations=st.iterations
+                + jnp.where(st.done, 0, settings.check_termination).astype(
+                    jnp.int32
+                ),
+            )
+        else:
+            st = jax.lax.fori_loop(
+                0,
+                settings.check_termination,
+                lambda i, s: _iteration(
+                    scaled, s.replace(factor=None), factor, settings
+                ),
+                st.replace(factor=None),
+                unroll=settings.inner_unroll,
+            ).replace(factor=factor)
+        st = st.replace(factor=factor)
         st, norms = _termination(base, scaled, scaling, st, settings)
         if settings.adaptive_rho:
             interval = max(
@@ -390,11 +425,15 @@ def solve_batched_lane(
                 rho_bar = jnp.where(adapt, new_rho, st.rho_bar)
                 rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
                 factor = scaled.kkt_factor(rho_vec, settings.sigma)
+                if use_fused:
+                    factor = pack_factor(scaled, factor)
                 return st.replace(
                     rho_bar=rho_bar, rho_vec=rho_vec, factor=factor
                 )
 
             st = jax.lax.cond(jnp.any(adapt), do_adapt, lambda s: s, st)
+        if use_fused:
+            st = st.replace(dx=None, dy=None)
         return st
 
     st = jax.lax.while_loop(cond, chunk, st)

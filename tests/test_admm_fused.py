@@ -1,0 +1,146 @@
+"""Fused ADMM chunk kernel (ops/admm_fused.py) parity vs the unfused loop.
+
+Runs the Pallas kernel in interpret mode on CPU (B = 128, one lane tile)
+and pins it against ``check_termination`` applications of
+``admm_lane._iteration`` — same OSQP iteration semantics
+(/root/reference/src/osqp-wrapper.h; SURVEY §3.4 hot loop).
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osqp_solver_tpu import RobotBall
+from osqp_solver_tpu.gomp.geometry import HorizontalLine
+from osqp_solver_tpu.gomp.trajectory import calc_warm_start_jnp
+from osqp_solver_tpu.gomp.trajectory_qp import (
+    empty_trajectory_qp,
+    linearize_workspace,
+    with_gomp_boxes,
+)
+from osqp_solver_tpu.gomp.trajectory_qp_lane import to_lane
+from osqp_solver_tpu.ops import admm
+from osqp_solver_tpu.ops.admm_fused import fused_admm_chunk
+from osqp_solver_tpu.ops.admm_lane import (
+    _iteration,
+    init_state_lane,
+    ruiz_equilibrate_lane,
+    solve_batched_lane,
+)
+from osqp_solver_tpu.ops.status import ExitCode
+
+W, N, B = 8, 3, 128
+RNG = np.random.default_rng(11)
+JAC0 = RNG.normal(size=(3, N))
+
+
+def build_wp_batch(honest=True, dtype=jnp.float64):
+    fk0 = lambda s: 0.1 * jnp.array([jnp.sum(s), jnp.sum(s**2), s[0]])
+    jac0 = lambda s: jnp.asarray(JAC0, s.dtype) + 0.01 * s[None, :]
+    fk1 = lambda s: s[:3]
+    jac1 = lambda s: jnp.eye(3, N, dtype=s.dtype)
+    balls = (
+        RobotBall(fk=fk0, jacobian=jac0, radius=0.15, is_gripper=False),
+        RobotBall(fk=fk1, jacobian=jac1, radius=0.05, is_gripper=True),
+    )
+    if honest:
+        obstacles = [HorizontalLine.create((0.0, 1.0), (100.0, 100.0, 0.15))]
+        flags = (False, True)
+    else:
+        obstacles, flags = [], ()
+    con3d = (jnp.full(3, -50.0, dtype), jnp.full(3, 50.0, dtype))
+    pos = (jnp.full(N, -10.0, dtype), jnp.full(N, 10.0, dtype))
+    vel = (jnp.full(N, -1.0, dtype), jnp.full(N, 1.0, dtype))
+    acc = (jnp.full(N, -2.0, dtype), jnp.full(N, 2.0, dtype))
+    base = empty_trajectory_qp(
+        W, N, gripper_flags=flags, n_obstacles=len(obstacles), dtype=dtype
+    )
+
+    def one(i):
+        start = 0.02 * jnp.sin(jnp.arange(N, dtype=dtype) + i)
+        end = 1.0 + 0.02 * jnp.cos(jnp.arange(N, dtype=dtype) * 1.3 + i)
+        qp = with_gomp_boxes(base, start, end, pos, vel, acc)
+        if honest:
+            warm = calc_warm_start_jnp(start, end, W)
+            qp = linearize_workspace(qp, balls, obstacles, con3d, warm)
+        return qp
+
+    lane = to_lane(jax.vmap(one)(jnp.arange(B, dtype=dtype)))
+    return lane.replace(row_layout="waypoint")
+
+
+@pytest.mark.parametrize("honest", [True, False])
+def test_fused_chunk_matches_unfused_iterations(honest):
+    settings = dataclasses.replace(admm.Settings(), check_termination=3)
+    lane = build_wp_batch(honest=honest)
+    scaled, scaling = ruiz_equilibrate_lane(lane, settings.scaling)
+    st = init_state_lane(scaled, settings)
+    # Freeze a few problems to exercise the done mask.
+    done = jnp.zeros((B,), bool).at[5].set(True).at[77].set(True)
+    st = st.replace(done=done, dx=st.dx + 0.25, dy=st.dy + 0.5)
+
+    # Reference: n unfused iterations.
+    ref = st
+    for _ in range(settings.check_termination):
+        ref = _iteration(scaled, ref.replace(factor=None), st.factor, settings)
+
+    x2, z2, y2, dx2, dy2 = fused_admm_chunk(
+        scaled, st.factor, st.x, st.z, st.y,
+        st.rho_vec, st.done, settings, interpret=True,
+    )
+    tol = dict(rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(ref.x), **tol)
+    np.testing.assert_allclose(np.asarray(z2), np.asarray(ref.z), **tol)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(ref.y), **tol)
+    # dx/dy: last ACTIVE iteration's deltas; zeros for frozen problems
+    # (their certificates/status are already fixed).
+    mask = np.asarray(~done)
+    np.testing.assert_allclose(
+        np.asarray(dx2)[:, mask], np.asarray(ref.dx)[:, mask], **tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(dy2)[:, mask], np.asarray(ref.dy)[:, mask], **tol
+    )
+    np.testing.assert_array_equal(np.asarray(dx2)[:, 5], 0.0)
+    np.testing.assert_array_equal(np.asarray(dy2)[:, 77], 0.0)
+    # Frozen problems kept their pre-chunk state bit-for-bit.
+    for new, old in ((x2, st.x), (z2, st.z), (y2, st.y)):
+        np.testing.assert_array_equal(
+            np.asarray(new[:, 5]), np.asarray(old[:, 5])
+        )
+
+
+def test_gain_is_upper_triangular():
+    """The packed-factor assumption: gain = L·C⁻ᵀ is exactly upper-
+    triangular for the trajectory QP family (L couples q_{t+1}/v_{t+1} only
+    to same-index q_t/v_t diagonals)."""
+    lane = build_wp_batch(honest=True)
+    from osqp_solver_tpu.ops.admm_lane import ruiz_equilibrate_lane as _rz
+
+    scaled, _ = _rz(lane, 10)
+    rho = jnp.full((scaled.m, B), 0.1, scaled.q_vec.dtype)
+    f = scaled.kkt_factor(rho, 1e-6)
+    g = np.asarray(f.gain)  # (W-1, 2N, 2N, B)
+    tril = np.tril_indices(2 * N, k=-1)
+    assert np.max(np.abs(g[:, tril[0], tril[1], :])) == 0.0
+
+
+def test_fused_solve_end_to_end():
+    settings = dataclasses.replace(
+        admm.Settings(), check_termination=10, fused_chunk="on"
+    )
+    lane = build_wp_batch(honest=True)
+    ref = solve_batched_lane(
+        lane, dataclasses.replace(settings, fused_chunk="off")
+    )
+    got = solve_batched_lane(lane, settings)
+    np.testing.assert_array_equal(np.asarray(got.status), np.asarray(ref.status))
+    assert np.all(np.asarray(got.status) == ExitCode.kOptimal)
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=1e-7, atol=1e-9
+    )
