@@ -47,30 +47,116 @@ from .status import ExitCode
 def ruiz_equilibrate_lane(qp, iters: int = 10):
     """Batch-last Ruiz (OSQP ``scaling.c`` semantics — see
     :func:`osqp_solver_tpu.ops.ruiz.ruiz_equilibrate`): per-problem scalars
-    are ``(B,)``, reductions run over the row axis."""
+    are ``(B,)``, reductions run over the row axis.
+
+    Norm-only iterations: instead of materializing the 21-array scaled
+    container twice per iteration (the naive form costs ~40 ms of a 119 ms
+    batch-1024 solve on v5e), each iteration computes the scaled row/column
+    maxima directly from the base absolute coefficients weighted by the
+    running (D, E, c) — elementwise-identical values (|a·e·d| = |a|·e·d for
+    positive scalings, same multiply grouping as ``scale_data``) — and the
+    full container is scaled exactly once at the end."""
     dtype = qp.q.dtype
     B = qp.q.shape[-1]
-    D = jnp.ones((qp.n, B), dtype)
-    E = jnp.ones((qp.m, B), dtype)
+    W, N = qp.waypoints, qp.n_dim
     c = jnp.ones((B,), dtype)
 
-    scaled = qp
-    for _ in range(iters):
-        cols_x = jnp.maximum(scaled.P_col_absmax(), scaled.A_col_absmax())
-        rows_a = scaled.A_row_absmax()
-        D = D * (1.0 / jnp.sqrt(_limit(cols_x)))
-        E = E * (1.0 / jnp.sqrt(_limit(rows_a)))
-        scaled = qp.scale_data(D, E, c)
+    # Base absolute data (read once).
+    a_c0 = jnp.abs(qp.dyn_coef[..., 0, :])
+    a_c1 = jnp.abs(qp.dyn_coef[..., 1, :])
+    a_c2 = jnp.abs(qp.dyn_coef[..., 2, :])
+    a_pos = jnp.abs(qp.pos_coef)
+    a_vel = jnp.abs(qp.vel_coef)
+    a_a0 = jnp.abs(qp.acc_coef[..., 0, :])
+    a_a1 = jnp.abs(qp.acc_coef[..., 1, :])
+    a_ws = jnp.abs(qp.ws_jac)
+    a_obs = jnp.abs(qp.obs_jac)
+    a_Pd = jnp.abs(qp.P_diag)
+    a_Pl = jnp.abs(qp.P_lower)
+    a_q = jnp.abs(qp.q_vec)
 
-        p_cols = _limit(scaled.P_col_absmax())
+    ones = lambda shape: jnp.ones(shape, dtype)  # noqa: E731
+    Dq = ones((W, N, B))
+    Dv = ones((W, N, B))
+    e_dyn = ones((W - 1, N, B))
+    e_pos = ones((W, N, B))
+    e_vel = ones((W - 1, N, B))
+    e_acc = ones((W - 2, N, B))
+    e_ws = ones((qp.n_balls, W, 3, B))
+    e_obs = ones((qp.n_balls, qp.n_obstacles, W, B))
+
+    def p_colmax(ci):
+        """Column maxima of |c·D P D| as (W, 2N, B) — same values as
+        ``P_col_absmax(scale_data(...))``, computed without materializing."""
+        d_int = jnp.concatenate([Dq, Dv], axis=1)  # (W, 2N, B)
+        cd = ci * d_int
+        pd = jnp.max(a_Pd * cd[:, :, None], axis=1) * d_int
+        if W > 1:
+            low_col = jnp.max(a_Pl * cd[1:, :, None], axis=1) * d_int[:-1]
+            low_row = jnp.max(a_Pl * d_int[:-1, None, :], axis=2) * cd[1:]
+            pd = pd.at[:-1].max(low_col)
+            pd = pd.at[1:].max(low_row)
+        return pd
+
+    pad = lambda x, b, a: jnp.pad(x, ((b, a), (0, 0), (0, 0)))  # noqa: E731
+
+    for _ in range(iters):
+        # Scaled absolute coefficients (grouping mirrors scale_data).
+        s_c0 = a_c0 * e_dyn * Dv[:-1]
+        s_c1 = a_c1 * e_dyn * Dq[1:]
+        s_c2 = a_c2 * e_dyn * Dq[:-1]
+        s_pos = a_pos * e_pos * Dq
+        s_vel = a_vel * e_vel * Dv[:-1]
+        s_a0 = a_a0 * e_acc * Dv[1:-1]
+        s_a1 = a_a1 * e_acc * Dv[:-2]
+        s_ws = a_ws * e_ws[:, :, :, None, :] * Dq[None, :, None, :, :]
+        s_obs = a_obs * e_obs[:, :, :, None, :] * Dq[None, None, :, :, :]
+
+        # A column maxima (mirrors A_col_absmax).
+        qm = jnp.maximum(s_pos, pad(s_c2, 0, 1))
+        qm = jnp.maximum(qm, pad(s_c1, 1, 0))
+        if qp.n_balls:
+            qm = jnp.maximum(qm, jnp.max(s_ws, axis=(0, 2)))
+        if qp.n_obstacles and qp.n_balls:
+            qm = jnp.maximum(qm, jnp.max(s_obs, axis=(0, 1)))
+        vm = pad(jnp.maximum(s_vel, s_c0), 0, 1)
+        vm = jnp.maximum(vm, pad(s_a1, 0, 2))
+        vm = jnp.maximum(vm, pad(s_a0, 1, 1))
+
+        # KKT column maxima: P block included with the current c.
+        pm = p_colmax(c)
+        col_q = jnp.maximum(qm, pm[:, :N])
+        col_v = jnp.maximum(vm, pm[:, N:])
+        Dq = Dq * (1.0 / jnp.sqrt(_limit(col_q)))
+        Dv = Dv * (1.0 / jnp.sqrt(_limit(col_v)))
+
+        # A row maxima (mirrors A_row_absmax) → E updates per type.
+        e_dyn = e_dyn * (
+            1.0
+            / jnp.sqrt(_limit(jnp.maximum(jnp.maximum(s_c0, s_c1), s_c2)))
+        )
+        e_pos = e_pos * (1.0 / jnp.sqrt(_limit(s_pos)))
+        e_vel = e_vel * (1.0 / jnp.sqrt(_limit(s_vel)))
+        e_acc = e_acc * (1.0 / jnp.sqrt(_limit(jnp.maximum(s_a0, s_a1))))
+        e_ws = e_ws * (1.0 / jnp.sqrt(_limit(jnp.max(s_ws, axis=-2))))
+        e_obs = e_obs * (1.0 / jnp.sqrt(_limit(jnp.max(s_obs, axis=-2))))
+
+        # Cost normalization with the UPDATED D, current c.
+        p_cols = _limit(p_colmax(c))
+        Dflat = jnp.concatenate(
+            [Dq.reshape(-1, B), Dv.reshape(-1, B)], axis=0
+        )
+        q_max = jnp.max(c * Dflat * a_q, axis=0)
         gamma = 1.0 / _limit(
-            jnp.maximum(
-                jnp.mean(p_cols, axis=0), jnp.max(jnp.abs(scaled.q), axis=0)
-            )
+            jnp.maximum(jnp.mean(p_cols.reshape(-1, B), axis=0), q_max)
         )
         c = c * gamma
-        scaled = qp.scale_data(D, E, c)
 
+    D = jnp.concatenate([Dq.reshape(-1, B), Dv.reshape(-1, B)], axis=0)
+    E = qp._concat_rows(
+        e_dyn, e_pos, e_vel, e_acc, e_ws, e_obs, pad_value=1.0
+    )
+    scaled = qp.scale_data(D, E, c)
     scaling = Scaling(D=D, E=E, c=c, Dinv=1.0 / D, Einv=1.0 / E, cinv=1.0 / c)
     return scaled, scaling
 
