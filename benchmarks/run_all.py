@@ -134,12 +134,19 @@ def main():
 
     # ---- config 3: GOMP 100-waypoint trajectory batch ---------------------
     # The HONEST class: UR5e 2-ball workspace rows + 1 obstacle, matching
-    # examples/solver-example.cpp:37-51 (and bench.py's headline).
+    # examples/solver-example.cpp:37-51 (and bench.py's headline) — via the
+    # lane-major driver + fused chunk kernel (bench.py settings).
+    import dataclasses as _dc
+
     from bench import build_honest_batch
+    from osqp_solver_tpu.ops.admm_lane import solve_batched_lane
 
     B3 = 128 if args.quick else 256
     qps3 = build_honest_batch(B3, 100, 6, dtype)
-    f3 = jax.jit(lambda qps: admm.solve_batched(qps, settings))
+    settings3 = _dc.replace(
+        settings, check_termination=30, adaptive_rho_interval=30
+    )
+    f3 = jax.jit(lambda qps: solve_batched_lane(qps, settings3))
     r = f3(qps3)
     n_opt3 = int(np.sum(np.asarray(r.status) == 0))
     t0 = time.time()

@@ -45,6 +45,20 @@ from .status import ExitCode
 
 
 def ruiz_equilibrate_lane(qp, iters: int = 10):
+    """Dispatch: Pallas streaming kernel on TPU for waypoint-layout batches
+    (one program for all iterations — see :mod:`ops.ruiz_pallas`), jnp
+    norm-only fallback otherwise."""
+    from .ruiz_pallas import (
+        ruiz_equilibrate_lane_kernel,
+        ruiz_kernel_supported,
+    )
+
+    if jax.default_backend() == "tpu" and ruiz_kernel_supported(qp):
+        return ruiz_equilibrate_lane_kernel(qp, iters)
+    return _ruiz_equilibrate_lane_jnp(qp, iters)
+
+
+def _ruiz_equilibrate_lane_jnp(qp, iters: int = 10):
     """Batch-last Ruiz (OSQP ``scaling.c`` semantics — see
     :func:`osqp_solver_tpu.ops.ruiz.ruiz_equilibrate`): per-problem scalars
     are ``(B,)``, reductions run over the row axis.
