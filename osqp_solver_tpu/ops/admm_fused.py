@@ -560,6 +560,7 @@ def _tile(a, GS):
 def fused_admm_chunk(
     scaled, factor, x, z, y, rho_vec, done, settings,
     coef=None, lu=None, packed_factor=None, interpret=None,
+    return_packed=False,
 ):
     """Run ``settings.check_termination`` ADMM iterations fused.
 
@@ -670,4 +671,6 @@ def fused_admm_chunk(
     dxdy_out = dxdy_out.reshape(W, DRp, B)
     x2, z2, y2 = unpack_state(scaled, state_out)
     dx2, dy2 = unpack_dxdy(scaled, dxdy_out)
+    if return_packed:
+        return x2, z2, y2, dx2, dy2, state_out, dxdy_out
     return x2, z2, y2, dx2, dy2

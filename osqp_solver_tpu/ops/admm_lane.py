@@ -20,7 +20,7 @@ Parity with the vmapped driver is pinned by ``tests/test_admm_lane.py``.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -292,9 +292,34 @@ def _iteration(scaled, st: LaneADMMState, factor, settings: Settings):
     )
 
 
-def _termination(base, scaled, scaling: Scaling, st: LaneADMMState, settings: Settings):
-    """Per-problem OSQP termination + infeasibility certificates, batch-last
-    (mirrors ``admm._termination``; reductions over the row axis)."""
+class TermQuantities(NamedTuple):
+    """Per-problem (B,) reductions feeding the OSQP termination decision.
+
+    Everything data-dependent the decision needs, so it can be produced
+    either by the jnp matvec path (:func:`_termination_quantities`) or by
+    the streaming residual kernel (:mod:`ops.residuals_pallas`)."""
+
+    prim_res: jnp.ndarray
+    dual_res: jnp.ndarray
+    prim_norm: jnp.ndarray
+    dual_norm: jnp.ndarray
+    norm_dy: jnp.ndarray
+    norm_dx: jnp.ndarray
+    At_dy_max: jnp.ndarray  # ‖Aᵀdy_u‖∞
+    support: jnp.ndarray  # Σ u·(dy_u)₊ + l·(dy_u)₋ over tight rows
+    loose_dy_pos_max: jnp.ndarray  # max (dy_u)₊ over loose-u rows
+    loose_dy_neg_max: jnp.ndarray  # max −(dy_u)₋ over loose-l rows
+    P_dx_max: jnp.ndarray  # ‖P dx_u‖∞
+    A_dx_max: jnp.ndarray  # max A dx_u over tight-u rows (−inf if none)
+    A_dx_min: jnp.ndarray  # min A dx_u over tight-l rows (+inf if none)
+    q_dot_dx: jnp.ndarray  # qᵀ dx_u
+    blew_up: jnp.ndarray  # bool: iterates went non-finite
+
+
+def _termination_quantities(
+    base, scaled, scaling: Scaling, st: LaneADMMState
+) -> TermQuantities:
+    """jnp reference path (exactly the historical formulation)."""
     Einv, Dinv, cinv = scaling.Einv, scaling.Dinv, scaling.cinv
 
     Ax = scaled.A_matvec(st.x)
@@ -309,22 +334,11 @@ def _termination(base, scaled, scaling: Scaling, st: LaneADMMState, settings: Se
         _norm0(Dinv * scaled.q),
     )
 
-    eps_prim = settings.eps_abs + settings.eps_rel * prim_norm
-    eps_dual = settings.eps_abs + settings.eps_rel * dual_norm
-    solved = (prim_res <= eps_prim) & (dual_res <= eps_dual)
-    solved_inacc = (prim_res <= 10 * eps_prim) & (dual_res <= 10 * eps_dual)
-
-    # --- infeasibility certificates on unscaled deltas ----------------------
     dy_u = cinv * scaling.E * st.dy
     dx_u = scaling.D * st.dx
-    norm_dy = _norm0(dy_u)
-    norm_dx = _norm0(dx_u)
-
     loose_u = base.u >= INF_THRESHOLD
     loose_l = base.l <= -INF_THRESHOLD
 
-    eps_p = settings.eps_prim_inf * norm_dy
-    At_dy = base.AT_matvec(dy_u)
     dy_pos = jnp.maximum(dy_u, 0.0)
     dy_neg = jnp.minimum(dy_u, 0.0)
     support = jnp.sum(
@@ -332,32 +346,65 @@ def _termination(base, scaled, scaling: Scaling, st: LaneADMMState, settings: Se
         + jnp.where(loose_l, 0.0, base.l * dy_neg),
         axis=0,
     )
-    inf_dir_ok = jnp.all(
-        jnp.where(loose_u, dy_pos <= eps_p, True)
-        & jnp.where(loose_l, -dy_neg <= eps_p, True),
-        axis=0,
+    A_dx = base.A_matvec(dx_u)
+    neg_inf = jnp.asarray(-jnp.inf, dx_u.dtype)
+    pos_inf = jnp.asarray(jnp.inf, dx_u.dtype)
+    return TermQuantities(
+        prim_res=prim_res,
+        dual_res=dual_res,
+        prim_norm=prim_norm,
+        dual_norm=dual_norm,
+        norm_dy=_norm0(dy_u),
+        norm_dx=_norm0(dx_u),
+        At_dy_max=_norm0(base.AT_matvec(dy_u)),
+        support=support,
+        loose_dy_pos_max=jnp.max(jnp.where(loose_u, dy_pos, 0.0), axis=0),
+        loose_dy_neg_max=jnp.max(jnp.where(loose_l, -dy_neg, 0.0), axis=0),
+        P_dx_max=_norm0(base.P_matvec(dx_u)),
+        A_dx_max=jnp.max(jnp.where(loose_u, neg_inf, A_dx), axis=0),
+        A_dx_min=jnp.min(jnp.where(loose_l, pos_inf, A_dx), axis=0),
+        q_dot_dx=jnp.sum(base.q * dx_u, axis=0),
+        blew_up=~jnp.isfinite(
+            jnp.sum(st.x, axis=0) + jnp.sum(st.y, axis=0)
+        ),
+    )
+
+
+def _termination_decide(
+    st: LaneADMMState, tq: TermQuantities, settings: Settings
+):
+    """Status decision from the reductions (shared by jnp and kernel paths).
+
+    ``all(v ≤ ε)`` over masked rows is expressed as ``max(v over mask) ≤ ε``
+    — boolean-equivalent (≤ is monotone; empty mask → vacuous true via the
+    0/∓inf initializers)."""
+    prim_res, dual_res = tq.prim_res, tq.dual_res
+    eps_prim = settings.eps_abs + settings.eps_rel * tq.prim_norm
+    eps_dual = settings.eps_abs + settings.eps_rel * tq.dual_norm
+    solved = (prim_res <= eps_prim) & (dual_res <= eps_dual)
+    solved_inacc = (prim_res <= 10 * eps_prim) & (dual_res <= 10 * eps_dual)
+
+    eps_p = settings.eps_prim_inf * tq.norm_dy
+    inf_dir_ok = (tq.loose_dy_pos_max <= eps_p) & (
+        tq.loose_dy_neg_max <= eps_p
     )
     prim_inf = (
-        (norm_dy > settings.eps_prim_inf)
-        & (_norm0(At_dy) <= eps_p)
-        & (support <= -eps_p)
+        (tq.norm_dy > settings.eps_prim_inf)
+        & (tq.At_dy_max <= eps_p)
+        & (tq.support <= -eps_p)
         & inf_dir_ok
     )
 
-    eps_d = settings.eps_dual_inf * norm_dx
-    P_dx = base.P_matvec(dx_u)
-    A_dx = base.A_matvec(dx_u)
-    cone_ok = jnp.all(
-        (loose_u | (A_dx <= eps_d)) & (loose_l | (A_dx >= -eps_d)), axis=0
-    )
+    eps_d = settings.eps_dual_inf * tq.norm_dx
+    cone_ok = (tq.A_dx_max <= eps_d) & (tq.A_dx_min >= -eps_d)
     dual_inf = (
-        (norm_dx > settings.eps_dual_inf)
-        & (_norm0(P_dx) <= eps_d)
-        & (jnp.sum(base.q * dx_u, axis=0) <= -eps_d)
+        (tq.norm_dx > settings.eps_dual_inf)
+        & (tq.P_dx_max <= eps_d)
+        & (tq.q_dot_dx <= -eps_d)
         & cone_ok
     )
 
-    blew_up = ~jnp.isfinite(jnp.sum(st.x, axis=0) + jnp.sum(st.y, axis=0))
+    blew_up = tq.blew_up
 
     at_max = st.iterations >= settings.max_iter
     new_status = jnp.where(
@@ -393,7 +440,16 @@ def _termination(base, scaled, scaling: Scaling, st: LaneADMMState, settings: Se
         prim_res=jnp.where(st.done, st.prim_res, prim_res),
         dual_res=jnp.where(st.done, st.dual_res, dual_res),
     )
-    return st, (prim_res, dual_res, prim_norm, dual_norm)
+    return st, (prim_res, dual_res, tq.prim_norm, tq.dual_norm)
+
+
+def _termination(
+    base, scaled, scaling: Scaling, st: LaneADMMState, settings: Settings
+):
+    """Per-problem OSQP termination + infeasibility certificates, batch-last
+    (mirrors ``admm._termination``; reductions over the row axis)."""
+    tq = _termination_quantities(base, scaled, scaling, st)
+    return _termination_decide(st, tq, settings)
 
 
 def _adapt_rho_decision(st: LaneADMMState, norms, settings: Settings):
@@ -473,6 +529,11 @@ def solve_batched_lane(
 
     use_fused = fused_chunk_supported(scaled, settings)
     if use_fused:
+        from .residuals_pallas import (
+            build_residual_packs,
+            termination_quantities_kernel,
+        )
+
         # Constants per solve, computed once outside the while loop; the
         # carried factor is packed triangular (54% of the full-block bytes —
         # the while carry round-trips ~28 µs/MB per chunk on TPU, so carry
@@ -482,6 +543,7 @@ def solve_batched_lane(
         # already decided), and termination consumes them within the body.
         coef_pack = build_coef_pack(scaled)
         lu_pack = build_lu_pack(scaled)
+        resid_packs = build_residual_packs(scaled, scaling) + (scaling.cinv,)
         st = st.replace(
             factor=pack_factor(scaled, st.factor), dx=None, dy=None
         )
@@ -490,17 +552,26 @@ def solve_batched_lane(
         # Factor constant within a chunk — keep it out of the carry.
         factor = st.factor
         if use_fused:
-            x2, z2, y2, dx2, dy2 = fused_admm_chunk(
+            x2, z2, y2, _, _, sp, dp = fused_admm_chunk(
                 scaled, None, st.x, st.z, st.y, st.rho_vec, st.done,
                 settings, coef=coef_pack, lu=lu_pack, packed_factor=factor,
+                return_packed=True,
             )
             st = st.replace(
-                x=x2, z=z2, y=y2, dx=dx2, dy=dy2,
+                x=x2, z=z2, y=y2,
                 iterations=st.iterations
                 + jnp.where(st.done, 0, settings.check_termination).astype(
                     jnp.int32
                 ),
             )
+            # Certificates/residuals come straight from the streaming
+            # residual kernel on the chunk's packed outputs — dx/dy never
+            # materialize in flat form.
+            tq = termination_quantities_kernel(
+                scaled, sp, dp, coef_pack, resid_packs
+            )
+            st, norms = _termination_decide(st, tq, settings)
+            st = st.replace(factor=factor)
         else:
             st = jax.lax.fori_loop(
                 0,
@@ -511,8 +582,8 @@ def solve_batched_lane(
                 st.replace(factor=None),
                 unroll=settings.inner_unroll,
             ).replace(factor=factor)
-        st = st.replace(factor=factor)
-        st, norms = _termination(base, scaled, scaling, st, settings)
+            st = st.replace(factor=factor)
+            st, norms = _termination(base, scaled, scaling, st, settings)
         if settings.adaptive_rho:
             interval = max(
                 settings.adaptive_rho_interval, settings.check_termination
