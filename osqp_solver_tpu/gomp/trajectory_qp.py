@@ -81,6 +81,12 @@ class TrajectoryQP:
     obs_l: jnp.ndarray  # (n_balls, n_obs, W)
     obs_u: jnp.ndarray
 
+    # Static structure of the objective blocks: "block" = generic dense
+    # (2N, 2N) blocks; "vel_diag" = nonzeros only on the velocity diagonal
+    # (the GOMP smoothness Laplacian, utils.h:50-64) — lets the streaming
+    # kernels collapse P norms/matvecs from 288 entries to 2N per waypoint.
+    p_structure: str = struct.field(pytree_node=False, default="block")
+
     # ------------------------------------------------------------ structure
 
     @property
@@ -581,6 +587,7 @@ def empty_trajectory_qp(
         obs_jac=z(nb, n_obstacles, W, N),
         obs_l=neg(nb, n_obstacles, W),
         obs_u=pos(nb, n_obstacles, W),
+        p_structure="vel_diag",
     )
 
 

@@ -72,6 +72,8 @@ class LaneTrajectoryQP:
     #               (−INF, INF) bounds — the reference's own dummy-row trick
     #               (constraint-builder.h:112-116) applied to tiling.
     row_layout: str = struct.field(pytree_node=False, default="type")
+    # "vel_diag": P nonzero only on the velocity diagonal (see TrajectoryQP).
+    p_structure: str = struct.field(pytree_node=False, default="block")
 
     # ------------------------------------------------------------ structure
 
@@ -519,6 +521,7 @@ def from_trailing(qps, row_layout: str = "type") -> LaneTrajectoryQP:
         gripper_flags=qps.gripper_flags,
         n_obstacles=qps.n_obstacles,
         row_layout=row_layout,
+        p_structure=getattr(qps, "p_structure", "block"),
         **{k: getattr(qps, k) for k in _ARRAY_FIELDS},
     )
 
@@ -532,5 +535,6 @@ def to_lane(qps) -> LaneTrajectoryQP:
         n_dim=qps.n_dim,
         gripper_flags=qps.gripper_flags,
         n_obstacles=qps.n_obstacles,
+        p_structure=getattr(qps, "p_structure", "block"),
         **{k: jnp.moveaxis(getattr(qps, k), 0, -1) for k in _ARRAY_FIELDS},
     )

@@ -78,27 +78,45 @@ def build_residual_packs(scaled, scaling):
             [varc, jnp.zeros((W, VCp - VC, B), varc.dtype)], axis=1
         )
 
-    low, Tp = _tri_low(B2)
-    low_flat = [i * B2 + j for (i, j) in sorted(low, key=low.get)]
-    Pdp = scaled.P_diag.reshape(W, B2 * B2, B)[:, jnp.asarray(low_flat)]
-    if Tp > len(low_flat):
-        Pdp = jnp.concatenate(
-            [Pdp, jnp.zeros((W, Tp - len(low_flat), B), Pdp.dtype)], axis=1
+    if scaled.p_structure == "vel_diag":
+        Np = -(-N // 8) * 8
+        dt = scaled.P_diag.dtype
+        Pdp = jnp.stack(
+            [scaled.P_diag[:, N + j, N + j] for j in range(N)], axis=1
         )
-    Plf = jnp.concatenate(
-        [
-            scaled.P_lower.reshape(W - 1, B2 * B2, B),
-            jnp.zeros((1, B2 * B2, B), scaled.P_lower.dtype),
-        ],
-        axis=0,
-    )
+        Plf = jnp.stack(
+            [scaled.P_lower[:, N + j, N + j] for j in range(N)], axis=1
+        )
+        Plf = jnp.concatenate([Plf, jnp.zeros((1, N, B), dt)], axis=0)
+        if Np > N:
+            padz = lambda a: jnp.concatenate(  # noqa: E731
+                [a, jnp.zeros((W, Np - N, B), dt)], axis=1
+            )
+            Pdp, Plf = padz(Pdp), padz(Plf)
+    else:
+        low, Tp = _tri_low(B2)
+        low_flat = [i * B2 + j for (i, j) in sorted(low, key=low.get)]
+        Pdp = scaled.P_diag.reshape(W, B2 * B2, B)[:, jnp.asarray(low_flat)]
+        if Tp > len(low_flat):
+            Pdp = jnp.concatenate(
+                [Pdp, jnp.zeros((W, Tp - len(low_flat), B), Pdp.dtype)],
+                axis=1,
+            )
+        Plf = jnp.concatenate(
+            [
+                scaled.P_lower.reshape(W - 1, B2 * B2, B),
+                jnp.zeros((1, B2 * B2, B), scaled.P_lower.dtype),
+            ],
+            axis=0,
+        )
     norm_Dq = jnp.max(jnp.abs(scaling.Dinv * scaled.q), axis=0)
     return rowc, varc, Pdp, Plf, norm_Dq
 
 
 def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, VCp, Tp, S, row_off, coef_off,
-                 ball_rows, ball_coefs, n_obstacles):
+                 ball_rows, ball_coefs, n_obstacles, p_structure):
     B2 = 2 * N
+    vel_diag = p_structure == "vel_diag"
     X0, Z0, Y0 = 0, B2, B2 + Rp
     LOW, _ = _tri_low(B2)
     # rowc offsets
@@ -265,7 +283,17 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, VCp, Tp, S, row_off, coef_off,
             ATdy = at_rows(lambda sl, r: db[sl, B2 + r])
 
             # ---- P·x and P·dx at u: Pd_u v_u + Pl_{u−1} v_{u−1} + Pl_uᵀ v_{u+1}.
+            # "vel_diag": only velocity-diagonal entries (pdb/plb hold the
+            # (W, Np, B) diagonal packs).
             def p_rows(val):
+                if vel_diag:
+                    out = [zero] * N
+                    for j in range(N):
+                        s = pdb[s_u, j] * val(s_u, N + j)
+                        sp = plb[s_p, j] * val(s_p, N + j)
+                        sn = plb[s_u, j] * val(s_t, N + j)
+                        out.append(s + m(have_prev, sp) + m(have_next, sn))
+                    return out
                 out = []
                 for i in range(B2):
                     s = zero
@@ -436,7 +464,7 @@ def termination_quantities_kernel(
         W=W, N=N, Rp=Rp, CRp=CRp, SRp=SRp, DRp=DRp, VCp=VCp, Tp=Tp, S=S,
         row_off=row_off, coef_off=coef_off,
         ball_rows=ball_rows, ball_coefs=ball_coefs,
-        n_obstacles=scaled.n_obstacles,
+        n_obstacles=scaled.n_obstacles, p_structure=scaled.p_structure,
     )
 
     acc = pl.pallas_call(
@@ -449,8 +477,8 @@ def termination_quantities_kernel(
         out_shape=jax.ShapeDtypeStruct((_NACC, GS, LANE), dt),
         scratch_shapes=[
             pltpu.VMEM((NSLOT, CRp, S, LANE), dt),
-            pltpu.VMEM((NSLOT, Tp, S, LANE), dt),
-            pltpu.VMEM((NSLOT, 4 * N * N, S, LANE), dt),
+            pltpu.VMEM((NSLOT, Pdp.shape[1], S, LANE), dt),
+            pltpu.VMEM((NSLOT, Plf.shape[1], S, LANE), dt),
             pltpu.VMEM((NSLOT, SRp, S, LANE), dt),
             pltpu.VMEM((NSLOT, DRp, S, LANE), dt),
             pltpu.VMEM((NSLOT, 4 * Rp, S, LANE), dt),

@@ -55,8 +55,10 @@ def _limit_t(x):
 
 
 def _make_kernel(*, W, N, Rp, CRp, S, iters, row_off, coef_off, ball_rows,
-                 ball_coefs, n_obstacles):
+                 ball_coefs, n_obstacles, p_structure):
     B2 = 2 * N
+    vel_diag = p_structure == "vel_diag"
+    NG = N if vel_diag else B2  # gamma carry width
 
     def kernel(
         ac_hbm, aPd_hbm, aPl_hbm, aq_hbm, c_in_vmem, D_in, E_in,
@@ -172,28 +174,45 @@ def _make_kernel(*, W, N, Rp, CRp, S, iters, row_off, coef_off, ball_rows,
                     colv[j] = cv
 
                 # P columns: diag(u) + lower-row (aPl[u−1]) + lower-col
-                # (aPl[u] with old D[u+1]).
-                for jj in range(B2):
-                    acc = zero
-                    for ii in range(B2):
-                        acc = jnp.maximum(
-                            acc, (c * Db[s_u, ii]) * pdb[s_u, ii, jj])
-                    pcol = acc * Db[s_u, jj]
-                    accr = zero
-                    for jx in range(B2):
-                        accr = jnp.maximum(
-                            accr, plb[s_p, jj, jx] * Db[s_p, jx])
-                    pcol = jnp.maximum(
-                        pcol, m(have_prev, accr * (c * Db[s_u, jj])))
-                    accc = zero
-                    for ii in range(B2):
-                        accc = jnp.maximum(
-                            accc, (c * Db[s_t, ii]) * plb[s_u, ii, jj])
-                    pcol = jnp.maximum(pcol, m(have_next, accc * Db[s_u, jj]))
-                    if jj < N:
-                        colq[jj] = jnp.maximum(colq[jj], pcol)
-                    else:
-                        colv[jj - N] = jnp.maximum(colv[jj - N], pcol)
+                # (aPl[u] with old D[u+1]).  "vel_diag": nonzeros only on
+                # the velocity diagonal — q columns get no P contribution.
+                if vel_diag:
+                    for j in range(N):
+                        pcol = ((c * Dv(s_u, j)) * pdb[s_u, j]) * Dv(s_u, j)
+                        pcol = jnp.maximum(
+                            pcol,
+                            m(have_prev,
+                              (plb[s_p, j] * Dv(s_p, j))
+                              * (c * Dv(s_u, j))))
+                        pcol = jnp.maximum(
+                            pcol,
+                            m(have_next,
+                              ((c * Dv(s_t, j)) * plb[s_u, j])
+                              * Dv(s_u, j)))
+                        colv[j] = jnp.maximum(colv[j], pcol)
+                else:
+                    for jj in range(B2):
+                        acc = zero
+                        for ii in range(B2):
+                            acc = jnp.maximum(
+                                acc, (c * Db[s_u, ii]) * pdb[s_u, ii, jj])
+                        pcol = acc * Db[s_u, jj]
+                        accr = zero
+                        for jx in range(B2):
+                            accr = jnp.maximum(
+                                accr, plb[s_p, jj, jx] * Db[s_p, jx])
+                        pcol = jnp.maximum(
+                            pcol, m(have_prev, accr * (c * Db[s_u, jj])))
+                        accc = zero
+                        for ii in range(B2):
+                            accc = jnp.maximum(
+                                accc, (c * Db[s_t, ii]) * plb[s_u, ii, jj])
+                        pcol = jnp.maximum(
+                            pcol, m(have_next, accc * Db[s_u, jj]))
+                        if jj < N:
+                            colq[jj] = jnp.maximum(colq[jj], pcol)
+                        else:
+                            colv[jj - N] = jnp.maximum(colv[jj - N], pcol)
 
                 # ---------- row maxima of waypoint u (old D/E)
                 rowmax = [zero] * Rp
@@ -267,48 +286,67 @@ def _make_kernel(*, W, N, Rp, CRp, S, iters, row_off, coef_off, ball_rows,
 
                 # ---------- cost-normalization (new D, old c) --------------
                 # Finish waypoint u−1: its lowcol needs Dn_u (just computed).
-                gsum_add = zero
-                for jj in range(B2):
-                    accc = zero
-                    for ii in range(B2):
-                        accc = jnp.maximum(
-                            accc, (c * Dn[ii]) * plb[s_p, ii, jj])
-                    full = jnp.maximum(
-                        gpart[jj], m(t <= W, accc * Dn_prev[jj]))
-                    gsum_add = gsum_add + _limit_t(full)
-                gsum = gsum + jnp.where(have_prev, gsum_add, 0.0)
+                if vel_diag:
+                    # q columns contribute _limit(0) = 1 each to the mean.
+                    gsum_add = jnp.full((S, LANE), float(N), Db.dtype)
+                    for j in range(N):
+                        accc = (c * Dn[N + j]) * plb[s_p, j]
+                        full = jnp.maximum(
+                            gpart[j], m(t <= W, accc * Dn_prev[j]))
+                        gsum_add = gsum_add + _limit_t(full)
+                    gsum = gsum + jnp.where(have_prev, gsum_add, 0.0)
 
-                # Partial (diag + lowrow) for waypoint u, finished next step.
-                gpart_new = [zero] * B2
-                for jj in range(B2):
-                    acc = zero
-                    for ii in range(B2):
-                        acc = jnp.maximum(
-                            acc, (c * Dn[ii]) * pdb[s_u, ii, jj])
-                    g = acc * Dn[jj]
-                    accr = zero
-                    for jx in range(B2):
-                        accr = jnp.maximum(
-                            accr, plb[s_p, jj, jx] * Dn_prev[jx])
-                    g = jnp.maximum(g, m(have_prev, accr * (c * Dn[jj])))
-                    gpart_new[jj] = g
+                    gpart_new = [zero] * NG
+                    for j in range(N):
+                        g = ((c * Dn[N + j]) * pdb[s_u, j]) * Dn[N + j]
+                        accr = plb[s_p, j] * Dn_prev[j]
+                        g = jnp.maximum(
+                            g, m(have_prev, accr * (c * Dn[N + j])))
+                        gpart_new[j] = g
+                else:
+                    gsum_add = zero
+                    for jj in range(B2):
+                        accc = zero
+                        for ii in range(B2):
+                            accc = jnp.maximum(
+                                accc, (c * Dn[ii]) * plb[s_p, ii, jj])
+                        full = jnp.maximum(
+                            gpart[jj], m(t <= W, accc * Dn_prev[jj]))
+                        gsum_add = gsum_add + _limit_t(full)
+                    gsum = gsum + jnp.where(have_prev, gsum_add, 0.0)
+
+                    # Partial (diag + lowrow) for u, finished next step.
+                    gpart_new = [zero] * B2
+                    for jj in range(B2):
+                        acc = zero
+                        for ii in range(B2):
+                            acc = jnp.maximum(
+                                acc, (c * Dn[ii]) * pdb[s_u, ii, jj])
+                        g = acc * Dn[jj]
+                        accr = zero
+                        for jx in range(B2):
+                            accr = jnp.maximum(
+                                accr, plb[s_p, jj, jx] * Dn_prev[jx])
+                        g = jnp.maximum(g, m(have_prev, accr * (c * Dn[jj])))
+                        gpart_new[jj] = g
 
                 qadd = zero
                 for j in range(B2):
                     qadd = jnp.maximum(qadd, (c * Dn[j]) * aqb[s_u, j])
                 gqmax = jnp.maximum(gqmax, jnp.where(have_u, qadd, 0.0))
 
+                Dn_keep = Dn[N:] if vel_diag else Dn
                 Dn_prev = tuple(
-                    jnp.where(have_u, d, p) for d, p in zip(Dn, Dn_prev)
+                    jnp.where(have_u, d, p) for d, p in zip(Dn_keep, Dn_prev)
                 )
                 gpart = tuple(
                     jnp.where(have_u, g, p) for g, p in zip(gpart_new, gpart)
                 )
                 return (c, gsum, gqmax, Dn_prev, gpart)
 
-            zB2 = tuple(zero for _ in range(B2))
+            zNG = tuple(zero for _ in range(NG))
             c, gsum, gqmax, _, _ = jax.lax.fori_loop(
-                0, W + 2, body, (c, zero, zero, zB2, zB2)
+                0, W + 2, body, (c, zero, zero, zNG, zNG)
             )
             gamma = 1.0 / _limit_t(
                 jnp.maximum(gsum / float(W * B2), gqmax)
@@ -351,10 +389,31 @@ def ruiz_equilibrate_lane_kernel(qp, iters: int = 10, interpret=None):
         ws_jac=jnp.abs(qp.ws_jac), obs_jac=jnp.abs(qp.obs_jac),
     )
     ac = build_coef_pack(qp.replace(**abs_fields))
-    aPd = jnp.abs(qp.P_diag)
-    aPl = jnp.concatenate(
-        [jnp.abs(qp.P_lower), jnp.zeros((1, B2, B2, B), dt)], axis=0
-    )
+    if qp.p_structure == "vel_diag":
+        # Velocity-diagonal packs: |Pd_vv| and |Pl_vv| (W-padded), Np rows.
+        Np = -(-N // 8) * 8
+        ppd = jnp.stack(
+            [jnp.abs(qp.P_diag[:, N + j, N + j]) for j in range(N)], axis=1
+        )
+        ppl = jnp.stack(
+            [jnp.abs(qp.P_lower[:, N + j, N + j]) for j in range(N)], axis=1
+        )
+        ppl = jnp.concatenate([ppl, jnp.zeros((1, N, B), dt)], axis=0)
+        if Np > N:
+            padz = lambda a: jnp.concatenate(  # noqa: E731
+                [a, jnp.zeros((W, Np - N, B), dt)], axis=1
+            )
+            ppd, ppl = padz(ppd), padz(ppl)
+        aPd, aPl = ppd, ppl
+        p_shapes = [(NSLOT, Np, S, LANE), (NSLOT, Np, S, LANE)]
+    else:
+        aPd = jnp.abs(qp.P_diag)
+        aPl = jnp.concatenate(
+            [jnp.abs(qp.P_lower), jnp.zeros((1, B2, B2, B), dt)], axis=0
+        )
+        p_shapes = [
+            (NSLOT, B2, B2, S, LANE), (NSLOT, B2, B2, S, LANE)
+        ]
     aq = jnp.abs(qp._interleave(qp.q_vec))
 
     def tile(a):
@@ -368,7 +427,7 @@ def ruiz_equilibrate_lane_kernel(qp, iters: int = 10, interpret=None):
         W=W, N=N, Rp=Rp, CRp=CRp, S=S, iters=iters,
         row_off=row_off, coef_off=coef_off,
         ball_rows=ball_rows, ball_coefs=ball_coefs,
-        n_obstacles=qp.n_obstacles,
+        n_obstacles=qp.n_obstacles, p_structure=qp.p_structure,
     )
 
     D_t, E_t, c_t = pl.pallas_call(
@@ -396,8 +455,8 @@ def ruiz_equilibrate_lane_kernel(qp, iters: int = 10, interpret=None):
         input_output_aliases={5: 0, 6: 1},
         scratch_shapes=[
             pltpu.VMEM((NSLOT, CRp, S, LANE), dt),
-            pltpu.VMEM((NSLOT, B2, B2, S, LANE), dt),
-            pltpu.VMEM((NSLOT, B2, B2, S, LANE), dt),
+            pltpu.VMEM(p_shapes[0], dt),
+            pltpu.VMEM(p_shapes[1], dt),
             pltpu.VMEM((NSLOT, B2, S, LANE), dt),
             pltpu.VMEM((NSLOT, B2, S, LANE), dt),
             pltpu.VMEM((NSLOT, Rp, S, LANE), dt),

@@ -19,8 +19,9 @@ from test_admm_fused import build_wp_batch
 
 
 @pytest.mark.parametrize("honest", [True, False])
-def test_ruiz_kernel_matches_jnp(honest):
-    lane = build_wp_batch(honest=honest)
+@pytest.mark.parametrize("p_structure", ["vel_diag", "block"])
+def test_ruiz_kernel_matches_jnp(honest, p_structure):
+    lane = build_wp_batch(honest=honest).replace(p_structure=p_structure)
     assert ruiz_kernel_supported(lane)
     sc_ref, s_ref = _ruiz_equilibrate_lane_jnp(lane, 10)
     sc_k, s_k = ruiz_equilibrate_lane_kernel(lane, 10, interpret=True)
