@@ -1,0 +1,127 @@
+"""End-to-end batched GOMP planner throughput (full planning queries/s).
+
+The production-scale path (SURVEY.md §2.3 batch parallelism): many
+(start, end) trajectory queries planned on-device — the whole SCP loop of
+solve → exact-FK feasibility check → re-linearize (``gomp-solver.h:57-91``)
+— with the reference example's UR5e setup (2 RobotBalls, workspace floor
+y ≥ −0.4, ``solver-example.cpp:37-51``).
+
+Compares the two batched planner paths:
+
+* ``run_batch``       — vmapped per-problem sessions (round-1 path);
+* ``run_batch_lane``  — lane-major fused-kernel driver with batch-level SCP
+  masking (round-2 path).
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/planner_batch.py
+       [--batch 128] [--waypoints 50] [--skip-vmap]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--waypoints", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--skip-vmap", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+    import jax.numpy as jnp
+
+    from osqp_solver_tpu import RobotBall, constraints as C
+    from osqp_solver_tpu.gomp.geometry import HorizontalLine
+    from osqp_solver_tpu.gomp.planner import GOMPSolver
+    from osqp_solver_tpu.models import ur5e
+
+    dev = jax.devices()[0]
+    log(f"device: {dev} platform={dev.platform}")
+    dtype = jnp.float32
+    B, W, N = args.batch, args.waypoints, 6
+    INF = 1e30
+
+    balls = [
+        RobotBall(
+            fk=ur5e.forward_kinematics_6_back,
+            jacobian=ur5e.joint_jacobian_6_back,
+            radius=0.15,
+            is_gripper=False,
+        ),
+        RobotBall(
+            fk=ur5e.forward_kinematics,
+            jacobian=ur5e.joint_jacobian,
+            radius=0.05,
+            is_gripper=True,
+        ),
+    ]
+    solver = GOMPSolver(
+        max_waypoints=W,
+        time_step=0.1,
+        pos_con=C.in_range(N, -2 * np.pi, 2 * np.pi),
+        vel_con=C.in_range(N, -np.pi, np.pi),
+        acc_con=C.in_range(N, -800 * np.pi / 180, 800 * np.pi / 180),
+        con_3d=C.Constraint(
+            lower=np.array([-INF, -0.4, -INF]), upper=np.full(3, INF)
+        ),
+        obstacles=[],
+        balls=balls,
+        dtype=dtype,
+    )
+
+    rng = np.random.default_rng(0)
+    starts = 0.02 * rng.standard_normal((B, N))
+    ends = np.tile(
+        np.array([np.pi, 0, 0, 0, 0, 0]), (B, 1)
+    ) + 0.02 * rng.standard_normal((B, N))
+
+    def sync(a):
+        return float(jnp.sum(a))
+
+    results = {}
+    paths = [("lane", solver.run_batch_lane)]
+    if not args.skip_vmap:
+        paths.append(("vmap", solver.run_batch))
+    for name, fn in paths:
+        t0 = time.time()
+        st, tr, it = fn(starts, ends, waypoints=W)
+        sync(tr)
+        log(f"[{name}] compile+first: {time.time()-t0:.1f}s")
+        n_opt = int(np.sum(np.asarray(st) == 0))
+        log(
+            f"[{name}] optimal {n_opt}/{B}, scp iters p50="
+            f"{int(np.median(it))} max={int(np.max(it))}"
+        )
+        t0 = time.time()
+        outs = [fn(starts, ends, waypoints=W) for _ in range(args.reps)]
+        for o in outs:
+            sync(o[1])
+        dt = (time.time() - t0) / args.reps
+        log(f"[{name}] {dt*1e3:.1f} ms/batch -> {n_opt/dt:.0f} queries/s")
+        results[name] = {
+            "queries_per_sec": round(n_opt / dt, 1),
+            "optimal": n_opt,
+            "batch": B,
+        }
+
+    print(json.dumps({"metric": "gomp_planner_queries_per_sec", **results}))
+
+
+if __name__ == "__main__":
+    main()

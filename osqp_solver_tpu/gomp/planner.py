@@ -485,6 +485,115 @@ class GOMPSolver:
             self._compiled[key] = jax.jit(jax.vmap(plan_one))
         return self._compiled[key](starts, ends)
 
+    def run_batch_lane(
+        self, starts, ends, waypoints: int, max_scp: Optional[int] = None
+    ):
+        """Batched fixed-horizon planner on the lane-major fused driver.
+
+        Same contract and semantics as :meth:`run_batch` (SCP loop of
+        solve → exact-FK check → re-linearize, ``gomp-solver.h:57-91``), but
+        the whole batch is solved **together** each SCP round by
+        :func:`~osqp_solver_tpu.ops.admm_lane.solve_batched_lane` — on TPU
+        that is the streaming Pallas kernel pipeline (fused ADMM chunks,
+        streaming Ruiz, streaming termination), several× faster per solve
+        than the vmapped session path.  Per-problem SCP convergence is
+        masked: finished problems keep their accepted solution/status while
+        the batch keeps iterating (re-solves of frozen problems are
+        discarded — the batch is done when every problem is).
+
+        Returns ``(statuses, trajectories, scp_iters)`` exactly like
+        :meth:`run_batch`.
+        """
+        from ..ops.admm_lane import solve_batched_lane
+        from .trajectory_qp_lane import from_trailing
+
+        W, N = int(waypoints), self.n_dim
+        assert W >= 4
+        max_scp = self.max_scp_iterations if max_scp is None else int(max_scp)
+        balls, obstacles = self.balls, self.obstacles
+        con3d = (
+            jnp.asarray(self.con_3d.lower, self.dtype),
+            jnp.asarray(self.con_3d.upper, self.dtype),
+        )
+        settings = admm_mod.with_auto_refine(self.settings, W, self.dtype)
+        boxes = tuple(
+            (jnp.asarray(c.lower, self.dtype), jnp.asarray(c.upper, self.dtype))
+            for c in (self.pos_con, self.vel_con, self.acc_con)
+        )
+        is_ok1 = self._is_solution_ok_fn(W)
+
+        def build_one(start, end):
+            warm = calc_warm_start_jnp(start, end, W)
+            qp = empty_trajectory_qp(
+                W, N, [b.is_gripper for b in balls], len(obstacles), self.dtype
+            )
+            qp = with_gomp_boxes(qp, start, end, *boxes)
+            return linearize_workspace(qp, balls, obstacles, con3d, warm), warm
+
+        def plan_batch(starts, ends):
+            # Trailing-batch container: assembly writes lane layout directly.
+            qp_t, x = jax.vmap(build_one, out_axes=-1)(starts, ends)
+            B = starts.shape[0]
+            # Dual vectors live in the LANE row space (padded waypoint-major
+            # rows), not the TrajectoryQP row space.
+            m = from_trailing(qp_t, row_layout="waypoint").l.shape[0]
+            lin_b = jax.vmap(
+                lambda qp, xi: linearize_workspace(
+                    qp, balls, obstacles, con3d, xi
+                ),
+                in_axes=-1,
+                out_axes=-1,
+            )
+            ok_b = jax.vmap(is_ok1, in_axes=-1)
+
+            status0 = jnp.full((B,), ExitCode.kUnknown, jnp.int32)
+            done0 = jnp.zeros((B,), bool)
+            k0 = jnp.zeros((B,), jnp.int32)
+            # Dual warm start carried across SCP rounds (the session path's
+            # warm_y, osqp-wrapper.h Solve()-to-Solve() carry): without it
+            # the re-linearization can limit-cycle between two
+            # linearization points that both fail the exact-FK check.
+            y0 = jnp.zeros((m, B), qp_t.q.dtype)
+
+            def cond(carry):
+                _, _, _, _, _, done, k = carry
+                return jnp.any(~done) & (jnp.max(k) < max_scp)
+
+            def body(carry):
+                qp_t, x, y, status, ok, done, k = carry
+                lane = from_trailing(qp_t, row_layout="waypoint")
+                res = solve_batched_lane(
+                    lane, settings, warm_x=x.T, warm_y=y.T
+                )
+                xs = jnp.where(done, x, res.x.T)
+                y = jnp.where(done, y, res.y.T)
+                status = jnp.where(done, status, res.status).astype(jnp.int32)
+                ok = jnp.where(done, ok, ok_b(xs))
+                solvable = (status == ExitCode.kOptimal) | (
+                    status == ExitCode.kOptimalInaccurate
+                )
+                k = k + jnp.where(done, 0, 1).astype(jnp.int32)
+                done = done | ok | ~solvable
+                qp_t = lin_b(qp_t, xs)
+                return qp_t, xs, y, status, ok, done, k
+
+            _, x, _, status, ok, _, k = jax.lax.while_loop(
+                cond, body, (qp_t, x, y0, status0, done0, done0, k0)
+            )
+            final_status = jnp.where(
+                ok, ExitCode.kOptimal, ExitCode.kUnknown
+            ).astype(jnp.int32)
+            half = W * N
+            x = jnp.concatenate([x[:half], x[half:] / self.time_step], axis=0)
+            return final_status, x.T, k
+
+        key = ("batch_lane", W, max_scp)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(plan_batch)
+        return self._compiled[key](
+            jnp.asarray(starts, self.dtype), jnp.asarray(ends, self.dtype)
+        )
+
     def _build_session(self, start, end, warm, W, settings=None):
         """Traceable session construction for one problem at horizon W."""
         if settings is None:

@@ -168,6 +168,33 @@ def test_run_batch_fixed_horizon():
     )
 
 
+def test_run_batch_lane_matches_run_batch():
+    """The lane-major batched planner (fused-driver path) agrees with the
+    vmapped session path: same statuses, SCP rounds, and trajectories to
+    solver tolerance, including exact-FK clearance."""
+    line = HorizontalLine.create([1.0, 0.0], [0.0, 0.0, 0.5], False)
+    solver = make_solver(obstacles=[line], waypoints=8)
+    B = 6
+    starts = np.tile(np.array([0.0, 1.0, 0.2]), (B, 1))
+    ends = np.tile(np.array([0.5, -1.0, 0.2]), (B, 1)) + 0.01 * np.arange(B)[:, None]
+    st_v, tr_v, it_v = solver.run_batch(starts, ends, waypoints=8)
+    st_l, tr_l, it_l = solver.run_batch_lane(starts, ends, waypoints=8)
+    assert np.all(np.asarray(st_l) == np.asarray(st_v))
+    assert np.all(np.asarray(st_l) == ExitCode.kOptimal)
+    # The paths differ numerically (the lane loop re-equilibrates each SCP
+    # round; the session path freezes setup scaling), so SCP round counts
+    # may differ slightly and trajectories agree to solver tolerance.
+    assert np.max(np.abs(np.asarray(it_l) - np.asarray(it_v))) <= 2
+    np.testing.assert_allclose(
+        np.asarray(tr_l), np.asarray(tr_v), atol=2e-2
+    )
+    for b in range(B):
+        q = jnp.asarray(np.asarray(tr_l[b][: 8 * N]).reshape(8, N))
+        coll = np.asarray(line.has_collision(q, 0.05))
+        above = np.asarray(line.is_above(q, 0.05))
+        assert np.all(~coll | above)
+
+
 def test_horizon_shrink_warm_slicing_quirk():
     """Pin the reference's warm-start slicing at horizon shrink
     (gomp-solver.h:43-44): the new warm start is the first two w·N slices of
