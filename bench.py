@@ -130,14 +130,18 @@ def main():
 
     dtype = jnp.float32
     BATCH, W, N = 1024, 100, 6
-    # OSQP-default tolerances (eps_abs = eps_rel = 1e-3, unchanged); the
-    # termination-check cadence is a pure performance knob.  With the fused
-    # chunk kernel an iteration costs ~0.9 ms/batch while a termination check
-    # (6 matvec passes + certificates) costs ~11 ms, so the optimum moved
-    # from check-often (10) to check-rarely (30); measured sweep at batch
-    # 1024: 10→7,083, 20→8,402, 30→8,910 QPs/s, all 1024/1024 optimal.
+    # OSQP-default tolerances (eps_abs = eps_rel = 1e-3, unchanged); initial
+    # ρ and the termination-check cadence are pure performance knobs.  The
+    # honest class converges in ≤34 iterations from ρ0 = 0.05 WITHOUT ρ
+    # adaptation (measured sweep, benchmarks/rho_sweep.py: ρ0 ∈ [0.02, 0.05]
+    # all reach max 33-45 iters, vs p50 = 60 from the OSQP default ρ = 0.1
+    # with adapt-at-30 — on this class the first adaptation used to *extend*
+    # the tail).  Adaptation stays ON as a safety net but deferred to
+    # iteration 51, past the measured worst case, so no refactor fires on
+    # the benchmark class while pathological problems still recover.
     settings = dataclasses.replace(
-        admm.Settings(), check_termination=30, adaptive_rho_interval=30
+        admm.Settings(), rho=0.05, check_termination=17,
+        adaptive_rho_interval=51,
     )
 
     # NOTE: synchronization is via a scalar readback (jnp.sum) rather than

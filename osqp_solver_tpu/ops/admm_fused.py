@@ -560,7 +560,7 @@ def _tile(a, GS):
 def fused_admm_chunk(
     scaled, factor, x, z, y, rho_vec, done, settings,
     coef=None, lu=None, packed_factor=None, interpret=None,
-    return_packed=False,
+    return_packed=False, state_pack=None,
 ):
     """Run ``settings.check_termination`` ADMM iterations fused.
 
@@ -572,6 +572,12 @@ def fused_admm_chunk(
     iteration's deltas (zero for frozen problems — their certificates are
     already decided), semantically matching ``check_termination``
     applications of :func:`admm_lane._iteration`.
+
+    ``state_pack``: the (W, SRp, B) packed state from a previous chunk call
+    — skips :func:`pack_state` on entry AND the flat unpack on exit
+    (``x``/``z``/``y`` may be None); returns only
+    ``(state_out, dxdy_out)``.  This is how the driver carries state across
+    chunks with zero relayouts.
     """
     W, N, B = scaled.waypoints, scaled.n_dim, scaled.batch
     Rp = scaled.rows_per_waypoint_padded
@@ -596,7 +602,7 @@ def fused_admm_chunk(
         packed_factor = pack_factor(scaled, factor)
     cholp, gainp = packed_factor
 
-    state = pack_state(scaled, x, z, y)
+    state = state_pack if state_pack is not None else pack_state(scaled, x, z, y)
     q_int = scaled._interleave(scaled.q_vec)  # (W, 2N, B)
     rho3 = rho_vec.reshape(W, Rp, B)
     done_f = done.astype(dt).reshape(GS, LANE)
@@ -669,6 +675,8 @@ def fused_admm_chunk(
 
     state_out = state_out.reshape(W, SRp, B)
     dxdy_out = dxdy_out.reshape(W, DRp, B)
+    if state_pack is not None:
+        return state_out, dxdy_out
     x2, z2, y2 = unpack_state(scaled, state_out)
     dx2, dy2 = unpack_dxdy(scaled, dxdy_out)
     if return_packed:

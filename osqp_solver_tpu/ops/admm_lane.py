@@ -210,6 +210,7 @@ def init_state_lane(
     scaling: Optional[Scaling] = None,
     rho_bar: Optional[jnp.ndarray] = None,
     factor=None,
+    rho_vec: Optional[jnp.ndarray] = None,
 ) -> LaneADMMState:
     """Cold/warm start; ``warm_x``/``warm_y`` are unscaled ``(n|m, B)``."""
     dtype = scaled.q.dtype
@@ -228,7 +229,8 @@ def init_state_lane(
 
     if rho_bar is None:
         rho_bar = jnp.full((B,), settings.rho, dtype)
-    rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
+    if rho_vec is None:
+        rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
     if factor is None:
         factor = scaled.kkt_factor(rho_vec, settings.sigma)
     return LaneADMMState(
@@ -476,13 +478,17 @@ def solve_batched_lane(
     settings: Settings = Settings(),
     warm_x: Optional[jnp.ndarray] = None,
     warm_y: Optional[jnp.ndarray] = None,
+    rho0: Optional[jnp.ndarray] = None,
 ) -> SolveResult:
     """Batched solve in lane-major layout.
 
     ``qps``: a :class:`~osqp_solver_tpu.gomp.trajectory_qp_lane.LaneTrajectoryQP`
     (batch-last), or a batch-leading ``TrajectoryQP`` pytree (converted once
     up front).  ``warm_x``/``warm_y`` are batch-leading ``(B, n)``/``(B, m)``
-    like :func:`osqp_solver_tpu.ops.admm.solve_batched` takes.  Returns a
+    like :func:`osqp_solver_tpu.ops.admm.solve_batched` takes.  ``rho0``
+    (scalar or ``(B,)``, traced) overrides ``settings.rho`` as the initial
+    per-problem ρ̄ — OSQP's ``update_rho`` before solve, without recompiling
+    per value.  Returns a
     batch-leading :class:`SolveResult` (same contract as ``solve_batched``);
     per-problem adaptive ρ follows the same any-adapt-gated batched refactor.
     Direct KKT backend only (the CG path stays on the vmapped driver).
@@ -514,10 +520,11 @@ def solve_batched_lane(
 
     wx = None if warm_x is None else jnp.moveaxis(jnp.asarray(warm_x), 0, -1)
     wy = None if warm_y is None else jnp.moveaxis(jnp.asarray(warm_y), 0, -1)
-    st = init_state_lane(scaled, settings, wx, wy, scaling)
-
-    def cond(st):
-        return jnp.any((~st.done) & (st.iterations < settings.max_iter))
+    rb = None
+    if rho0 is not None:
+        rb = jnp.broadcast_to(
+            jnp.asarray(rho0, base.q.dtype), (base.q.shape[-1],)
+        )
 
     from .admm_fused import (
         build_coef_pack,
@@ -525,9 +532,14 @@ def solve_batched_lane(
         fused_admm_chunk,
         fused_chunk_supported,
         pack_factor,
+        pack_state,
+        unpack_state,
     )
+    from .kkt_factor_pallas import factor_packed_lane, factor_packed_supported
 
     use_fused = fused_chunk_supported(scaled, settings)
+    use_packed_factor = use_fused and factor_packed_supported(scaled)
+
     if use_fused:
         from .residuals_pallas import (
             build_residual_packs,
@@ -544,21 +556,49 @@ def solve_batched_lane(
         coef_pack = build_coef_pack(scaled)
         lu_pack = build_lu_pack(scaled)
         resid_packs = build_residual_packs(scaled, scaling) + (scaling.cinv,)
+
+    def fresh_factor(rho_bar_arr, rho_vec_arr):
+        """Packed (fused) or full-block (generic) factor for a given ρ."""
+        if use_packed_factor:
+            # One streaming kernel: assemble+factor+pack, no (W,2N,2N,B)
+            # KKT blocks ever materialize (ops/kkt_factor_pallas.py).
+            return factor_packed_lane(
+                scaled, rho_vec_arr, settings.sigma, coef=coef_pack
+            )
+        f = scaled.kkt_factor(rho_vec_arr, settings.sigma)
+        return pack_factor(scaled, f) if use_fused else f
+
+    if rb is None:
+        rb = jnp.full((base.q.shape[-1],), settings.rho, base.q.dtype)
+    rho_vec0 = _rho_vec(rb, scaled.l, scaled.u)
+    st = init_state_lane(
+        scaled, settings, wx, wy, scaling,
+        rho_bar=rb, rho_vec=rho_vec0, factor=fresh_factor(rb, rho_vec0),
+    )
+
+    def cond(st):
+        return jnp.any((~st.done) & (st.iterations < settings.max_iter))
+
+    if use_fused:
+        # The state crosses chunks PACKED (x holds the (W, SRp, B) pack;
+        # z/y/dx/dy drop out of the carry) — pack once here, unpack once
+        # after the loop, zero relayouts per chunk.
         st = st.replace(
-            factor=pack_factor(scaled, st.factor), dx=None, dy=None
+            x=pack_state(scaled, st.x, st.z, st.y),
+            z=None, y=None, dx=None, dy=None,
         )
 
     def chunk(st):
         # Factor constant within a chunk — keep it out of the carry.
         factor = st.factor
         if use_fused:
-            x2, z2, y2, _, _, sp, dp = fused_admm_chunk(
-                scaled, None, st.x, st.z, st.y, st.rho_vec, st.done,
+            sp, dp = fused_admm_chunk(
+                scaled, None, None, None, None, st.rho_vec, st.done,
                 settings, coef=coef_pack, lu=lu_pack, packed_factor=factor,
-                return_packed=True,
+                state_pack=st.x,
             )
             st = st.replace(
-                x=x2, z=z2, y=y2,
+                x=sp,
                 iterations=st.iterations
                 + jnp.where(st.done, 0, settings.check_termination).astype(
                     jnp.int32
@@ -595,19 +635,19 @@ def solve_batched_lane(
             def do_adapt(st):
                 rho_bar = jnp.where(adapt, new_rho, st.rho_bar)
                 rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
-                factor = scaled.kkt_factor(rho_vec, settings.sigma)
-                if use_fused:
-                    factor = pack_factor(scaled, factor)
                 return st.replace(
-                    rho_bar=rho_bar, rho_vec=rho_vec, factor=factor
+                    rho_bar=rho_bar,
+                    rho_vec=rho_vec,
+                    factor=fresh_factor(rho_bar, rho_vec),
                 )
 
             st = jax.lax.cond(jnp.any(adapt), do_adapt, lambda s: s, st)
-        if use_fused:
-            st = st.replace(dx=None, dy=None)
         return st
 
     st = jax.lax.while_loop(cond, chunk, st)
+    if use_fused:
+        x, z, y = unpack_state(scaled, st.x)
+        st = st.replace(x=x, z=z, y=y)
     if settings.polish:
         st = _polish(base, scaled, scaling, st, settings)
     return _finalize(base, scaling, st)
