@@ -165,12 +165,28 @@ def main():
             f"[{label}] optimal: {n_opt}/{BATCH}  iters p50={med_iters} "
             f"max={int(np.max(iters))}  prim_res max={float(np.max(pr)):.2e}"
         )
-        # In-order dispatch serializes the reps on-device; one readback at
-        # the end amortizes the tunnel round-trip out of the per-batch time.
+
+        # Steady-state: `reps` back-to-back solves INSIDE one program, each
+        # data-dependent on the previous (rho0 carries 0·Σx, opaque to the
+        # compiler, exactly 0.0 in value) so no two solves can overlap or be
+        # CSE'd.  Per-dispatch measurement is wrong on the tunneled platform:
+        # every host dispatch/readback costs a ~25 ms round-trip, which
+        # floored earlier rounds' numbers (r1 12.7k and the 22.6k interim
+        # were tunnel-RT-bound, not device-bound).
+        @jax.jit
+        def solve_k(qps):
+            def body(i, eps):
+                res = solve_batched_lane(qps, settings, rho0=settings.rho + eps)
+                return 0.0 * jnp.sum(res.x)
+
+            return jax.lax.fori_loop(
+                0, reps, body, jnp.asarray(0.0, qps.q_vec.dtype)
+            )
+
+        eps = solve_k(qps)
+        sync(eps)  # compile + warm
         t0 = time.time()
-        outs = [solve_all(qps) for _ in range(reps)]
-        for o in outs:
-            sync(o[0])
+        sync(solve_k(qps))
         dt = (time.time() - t0) / reps
         log(f"[{label}] steady-state: {dt*1e3:.1f} ms/batch -> {n_opt/dt:.1f} QPs/s")
         return n_opt / dt, med_iters, dt
