@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--waypoints", type=int, default=50)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--skip-vmap", action="store_true")
+    ap.add_argument("--rho", type=float, default=None)
+    ap.add_argument("--ct", type=int, default=None)
+    ap.add_argument("--ari", type=int, default=None)
     args = ap.parse_args()
 
     import jax
@@ -71,9 +74,23 @@ def main():
             is_gripper=True,
         ),
     ]
+    import dataclasses
+
+    from osqp_solver_tpu.ops.admm import Settings
+
+    overrides = {}
+    if args.rho is not None:
+        overrides["rho"] = args.rho
+    if args.ct is not None:
+        overrides["check_termination"] = args.ct
+    if args.ari is not None:
+        overrides["adaptive_rho_interval"] = args.ari
+    settings = dataclasses.replace(Settings(), **overrides)
+
     solver = GOMPSolver(
         max_waypoints=W,
         time_step=0.1,
+        settings=settings,
         pos_con=C.in_range(N, -2 * np.pi, 2 * np.pi),
         vel_con=C.in_range(N, -np.pi, np.pi),
         acc_con=C.in_range(N, -800 * np.pi / 180, 800 * np.pi / 180),
@@ -108,10 +125,12 @@ def main():
             f"[{name}] optimal {n_opt}/{B}, scp iters p50="
             f"{int(np.median(it))} max={int(np.max(it))}"
         )
+        # Dispatch all reps, sync only the last — per-rep readbacks cost a
+        # ~25 ms tunnel round-trip each and floor the measurement (in-order
+        # execution makes the final sync a barrier on all reps).
         t0 = time.time()
         outs = [fn(starts, ends, waypoints=W) for _ in range(args.reps)]
-        for o in outs:
-            sync(o[1])
+        sync(outs[-1][1])
         dt = (time.time() - t0) / args.reps
         log(f"[{name}] {dt*1e3:.1f} ms/batch -> {n_opt/dt:.0f} queries/s")
         results[name] = {

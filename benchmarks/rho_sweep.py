@@ -46,12 +46,18 @@ def main():
 
     ari_mult = int(os.environ.get("ARI_MULT", "1"))
     adaptive = os.environ.get("ADAPTIVE", "1") == "1"
+    alpha = float(os.environ.get("ALPHA", "1.6"))
+    scaling = int(os.environ.get("SCALING", "10"))
+    sigma = float(os.environ.get("SIGMA", "1e-6"))
     for ct in cts:
         settings = dataclasses.replace(
             admm.Settings(),
             check_termination=ct,
             adaptive_rho_interval=ct * ari_mult,
             adaptive_rho=adaptive,
+            alpha=alpha,
+            scaling=scaling,
+            sigma=sigma,
         )
 
         @jax.jit
@@ -59,22 +65,32 @@ def main():
             r = solve_batched_lane(qps, settings, rho0=rho0)
             return r.x, r.status, r.iterations
 
+        reps = 5
+
+        # In-program chained steady-state (see bench.py: per-dispatch
+        # timing is floored by the ~25 ms tunnel round-trip).
+        @jax.jit
+        def solve_k(qps, rho0):
+            def body(i, eps):
+                r = solve_batched_lane(qps, settings, rho0=rho0 + eps)
+                return 0.0 * jnp.sum(r.x)
+
+            return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, dtype))
+
         for rho in rhos:
             r0 = jnp.asarray(rho, dtype)
             t0 = time.time()
             x, status, iters = solve(lane, r0)
             sync(x)
             first = time.time() - t0
+            sync(solve_k(lane, r0))
             t0 = time.time()
-            reps = 5
-            outs = [solve(lane, r0) for _ in range(reps)]
-            for o in outs:
-                sync(o[0])
+            sync(solve_k(lane, r0))
             dt = (time.time() - t0) / reps
             n_opt = int(np.sum(np.asarray(status) == 0))
             it = np.asarray(iters)
             log(
-                f"ct={ct:3d} rho0={rho:5.2f}  opt={n_opt}/{BATCH} "
+                f"ct={ct:3d} rho0={rho:5.3f} a={settings.alpha} sc={settings.scaling}  opt={n_opt}/{BATCH} "
                 f"iters p50={int(np.median(it))} p90={int(np.percentile(it,90))} "
                 f"max={int(np.max(it))}  {dt*1e3:7.1f} ms/batch "
                 f"({n_opt/dt:8.1f} QPs/s)  [first {first:.1f}s]"

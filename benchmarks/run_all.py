@@ -5,7 +5,9 @@ Prints one JSON line per config to stdout (diagnostics to stderr):
 1. single small trajectory QP (examples/solver-example.cpp shape, CPU-class)
 2. 1k randomized box QPs, vmapped ADMM, single chip
 3. GOMP-style 100-waypoint 6-DOF trajectory QP with workspace rows
-4. MPC warm-start sweep (sequential re-solves, cached factorization)
+   (honest class, lane driver + fused kernels, in-program steady-state)
+4. MPC warm-start sweep (sequential re-solves, cached factorization);
+   4b: the same on the flagship W=100 trajectory class (goal-shift sweep)
 5. long-horizon block-tridiagonal KKT solve partitioned over the mesh
    (Schur complement; on a single chip this exercises the reference math —
    multi-chip scaling runs on a real slice)
@@ -135,24 +137,34 @@ def main():
     # ---- config 3: GOMP 100-waypoint trajectory batch ---------------------
     # The HONEST class: UR5e 2-ball workspace rows + 1 obstacle, matching
     # examples/solver-example.cpp:37-51 (and bench.py's headline) — via the
-    # lane-major driver + fused chunk kernel (bench.py settings).
+    # lane-major driver + fused chunk kernel (bench.py settings).  Measured
+    # like bench.py: `reps` data-dependent solves inside ONE program (each
+    # per-dispatch measurement pays a ~25 ms tunnel round-trip).
     import dataclasses as _dc
 
     from bench import build_honest_batch
     from osqp_solver_tpu.ops.admm_lane import solve_batched_lane
 
-    B3 = 128 if args.quick else 256
+    B3 = 128 if args.quick else 1024
     qps3 = build_honest_batch(B3, 100, 6, dtype)
     settings3 = _dc.replace(
-        settings, check_termination=30, adaptive_rho_interval=30
+        settings, rho=0.05, check_termination=17, adaptive_rho_interval=51
     )
     f3 = jax.jit(lambda qps: solve_batched_lane(qps, settings3))
     r = f3(qps3)
     n_opt3 = int(np.sum(np.asarray(r.status) == 0))
+
+    @jax.jit
+    def f3k(qps):
+        def body(i, eps):
+            res = solve_batched_lane(qps, settings3, rho0=settings3.rho + eps)
+            return 0.0 * jnp.sum(res.x)
+
+        return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, dtype))
+
+    sync(f3k(qps3))
     t0 = time.time()
-    for _ in range(reps):
-        r = f3(qps3)
-    sync(r.x)
+    sync(f3k(qps3))
     dt = (time.time() - t0) / reps
     emit(
         "config3_gomp_100wp_qps_per_sec",
@@ -188,6 +200,79 @@ def main():
         "config4_mpc_resolves_per_sec",
         steps / dt,
         f"re-solves/s ({steps} sequential bound updates, cached factor)",
+    )
+
+    # ---- config 4b: MPC on the flagship trajectory class -------------------
+    # Receding-horizon sweep on ONE honest W=100 UR5e QP: each step shifts
+    # the goal-position bounds, re-solving warm-started with the cached
+    # factor (reference analogue: warm-started sequential Solve() calls,
+    # gomp-solver.h:41-52 / osqp-wrapper.h Solve-to-Solve carry).
+    from osqp_solver_tpu import RobotBall
+    from osqp_solver_tpu.gomp.geometry import HorizontalLine
+    from osqp_solver_tpu.gomp.trajectory import calc_warm_start_jnp
+    from osqp_solver_tpu.gomp.trajectory_qp import (
+        empty_trajectory_qp,
+        linearize_workspace,
+        with_gomp_boxes,
+    )
+    from osqp_solver_tpu.models import ur5e
+
+    W4, N4, DT4, INF4 = 100, 6, 0.1, 1e30
+    balls4 = (
+        RobotBall(fk=ur5e.forward_kinematics_6_back,
+                  jacobian=ur5e.joint_jacobian_6_back, radius=0.15,
+                  is_gripper=False),
+        RobotBall(fk=ur5e.forward_kinematics,
+                  jacobian=ur5e.joint_jacobian, radius=0.05, is_gripper=True),
+    )
+    start4 = jnp.zeros(N4, dtype)
+    end4 = jnp.asarray([np.pi, 0, 0, 0, 0, 0], dtype)
+    qp4b = empty_trajectory_qp(
+        W4, N4, gripper_flags=(False, True), n_obstacles=1, dtype=dtype
+    )
+    qp4b = with_gomp_boxes(
+        qp4b, start4, end4,
+        (jnp.full(N4, -2 * np.pi, dtype), jnp.full(N4, 2 * np.pi, dtype)),
+        (jnp.full(N4, -np.pi * DT4, dtype), jnp.full(N4, np.pi * DT4, dtype)),
+        (jnp.full(N4, -800 * np.pi / 180 * DT4**2, dtype),
+         jnp.full(N4, 800 * np.pi / 180 * DT4**2, dtype)),
+    )
+    qp4b = linearize_workspace(
+        qp4b, balls4, [HorizontalLine.create((0.0, 1.0), (0.35, 0.0, 0.15))],
+        (jnp.asarray([-INF4, -0.4, -INF4], dtype),
+         jnp.asarray([INF4, INF4, INF4], dtype)),
+        calc_warm_start_jnp(start4, end4, W4),
+    )
+    # Warm re-solves converge in a handful of iterations — check often
+    # (cadence is the floor on iterations-per-re-solve).
+    settings4b = _dc.replace(settings, check_termination=5)
+    sess4b = S.setup(qp4b, settings4b)
+    steps4b = 100 if args.quick else 1000
+    deltas = 1e-4 * jnp.sin(jnp.arange(steps4b, dtype=dtype))[:, None] * jnp.ones(
+        6, dtype
+    )
+
+    def apply_goal_shift(base, d):
+        # Shift the final-waypoint position equality (pos rows of waypoint
+        # W-1) — bounds-only, factor stays valid.
+        pos_l = base.pos_l.at[-1].add(d)
+        pos_u = base.pos_u.at[-1].add(d)
+        return base.replace(pos_l=pos_l, pos_u=pos_u)
+
+    f4b = jax.jit(lambda se, u: S.mpc_scan(se, u, apply_goal_shift, settings4b))
+    _, (xs4b, st4b, it4b) = f4b(sess4b, deltas)
+    sync(xs4b)
+    t0 = time.time()
+    _, (xs4b, st4b, it4b) = f4b(sess4b, deltas)
+    sync(xs4b)
+    dt = time.time() - t0
+    n_opt4b = int(np.sum(np.asarray(st4b) == 0))
+    emit(
+        "config4b_trajectory_mpc_resolves_per_sec",
+        steps4b / dt,
+        f"re-solves/s (W=100 UR5e honest QP, {steps4b} goal shifts, "
+        f"{n_opt4b}/{steps4b} optimal, mean "
+        f"{float(np.mean(np.asarray(it4b))):.1f} ADMM iters/re-solve)",
     )
 
     # ---- config 5: long-horizon Schur KKT solve ---------------------------
