@@ -343,3 +343,25 @@ def test_waypoint_layout_solve_parity(honest):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
         )
+
+
+def test_rho0_traced_matches_static_rho():
+    """solve_batched_lane(rho0=v) (traced, sweep-without-recompile) must
+    match settings.rho=v (static) exactly — same initial rho_bar path."""
+    qps = build_batch(honest=True)
+    lane = to_lane(qps)
+    s_static = dataclasses.replace(admm.Settings(), rho=0.27)
+    ref = solve_batched_lane(lane, s_static)
+    got = jax.jit(
+        lambda qp, r0: solve_batched_lane(qp, admm.Settings(), rho0=r0)
+    )(lane, jnp.asarray(0.27, lane.q.dtype))
+    np.testing.assert_array_equal(np.asarray(got.status), np.asarray(ref.status))
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=1e-10, atol=1e-10
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.rho), np.asarray(ref.rho), rtol=1e-10, atol=0
+    )
