@@ -40,7 +40,15 @@ from .gomp.trajectory_qp import (
 )
 from .models.robot import RobotBall
 from .ops.admm import Settings, SolveResult, solve
+from .ops.admm_lane import solve_batched_lane
 from .ops.qp import DenseQP, dense_qp
+from .ops.session_lane import (
+    LaneSession,
+    mpc_scan_lane,
+    setup_lane,
+    solve_lane,
+    update_bounds_lane,
+)
 from .ops.status import ExitCode
 
 __all__ = [
@@ -58,6 +66,12 @@ __all__ = [
     "calc_warm_start",
     "TrajectoryQP",
     "empty_trajectory_qp",
+    "solve_batched_lane",
+    "LaneSession",
+    "setup_lane",
+    "solve_lane",
+    "update_bounds_lane",
+    "mpc_scan_lane",
     "with_gomp_boxes",
     "linearize_workspace",
     "Settings",

@@ -507,16 +507,7 @@ def solve_batched_lane(
     if settings.scaling > 0:
         scaled, scaling = ruiz_equilibrate_lane(base, settings.scaling)
     else:
-        n, B = base.q.shape
-        m = base.l.shape[0]
-        dtype = base.q.dtype
-        one = jnp.ones((B,), dtype)
-        ones_n = jnp.ones((n, B), dtype)
-        ones_m = jnp.ones((m, B), dtype)
-        scaling = Scaling(
-            D=ones_n, E=ones_m, c=one, Dinv=ones_n, Einv=ones_m, cinv=one
-        )
-        scaled = base
+        scaled, scaling = base, identity_scaling_lane(base)
 
     wx = None if warm_x is None else jnp.moveaxis(jnp.asarray(warm_x), 0, -1)
     wy = None if warm_y is None else jnp.moveaxis(jnp.asarray(warm_y), 0, -1)
@@ -525,7 +516,35 @@ def solve_batched_lane(
         rb = jnp.broadcast_to(
             jnp.asarray(rho0, base.q.dtype), (base.q.shape[-1],)
         )
+    result, _ = _solve_core(base, scaled, scaling, settings, wx, wy, rb)
+    return result
 
+
+def identity_scaling_lane(base) -> Scaling:
+    n, B = base.q.shape
+    m = base.l.shape[0]
+    dtype = base.q.dtype
+    one = jnp.ones((B,), dtype)
+    ones_n = jnp.ones((n, B), dtype)
+    ones_m = jnp.ones((m, B), dtype)
+    return Scaling(
+        D=ones_n, E=ones_m, c=one, Dinv=ones_n, Einv=ones_m, cinv=one
+    )
+
+
+def _solve_core(
+    base, scaled, scaling: Scaling, settings: Settings,
+    wx=None, wy=None, rb=None, factor=None,
+):
+    """Chunked ADMM loop on an already-equilibrated lane problem.
+
+    ``wx``/``wy``: lane-major unscaled warm starts; ``factor``: a cached KKT
+    factor consistent with ``rb`` (packed when the fused path is active,
+    full-block otherwise — session fast path).  Returns ``(SolveResult,
+    (x_lane, y_lane, rho_bar, factor))`` where the second element is the
+    lane-major carry a session threads into the next solve with zero
+    relayouts.
+    """
     from .admm_fused import (
         build_coef_pack,
         build_lu_pack,
@@ -571,9 +590,11 @@ def solve_batched_lane(
     if rb is None:
         rb = jnp.full((base.q.shape[-1],), settings.rho, base.q.dtype)
     rho_vec0 = _rho_vec(rb, scaled.l, scaled.u)
+    if factor is None:
+        factor = fresh_factor(rb, rho_vec0)
     st = init_state_lane(
         scaled, settings, wx, wy, scaling,
-        rho_bar=rb, rho_vec=rho_vec0, factor=fresh_factor(rb, rho_vec0),
+        rho_bar=rb, rho_vec=rho_vec0, factor=factor,
     )
 
     def cond(st):
@@ -650,7 +671,13 @@ def solve_batched_lane(
         st = st.replace(x=x, z=z, y=y)
     if settings.polish:
         st = _polish(base, scaled, scaling, st, settings)
-    return _finalize(base, scaling, st)
+    carry = (
+        scaling.D * st.x,
+        scaling.cinv * scaling.E * st.y,
+        st.rho_bar,
+        st.factor,
+    )
+    return _finalize(base, scaling, st), carry
 
 
 def _polish(base, scaled, scaling: Scaling, st: LaneADMMState, settings: Settings):
