@@ -520,6 +520,27 @@ def solve_batched_lane(
     return result
 
 
+def build_const_packs(scaled, scaling: Scaling):
+    """Bounds-independent kernel constants for :func:`_solve_core`.
+
+    Everything here depends only on A/P/q and the (frozen) scaling — valid
+    across any number of bounds-only updates (the lane-session fast path).
+    """
+    from .admm_fused import build_coef_pack
+    from .residuals_pallas import build_residual_packs
+
+    rowc, varc, Pdp, Plf, norm_Dq = build_residual_packs(scaled, scaling)
+    Rp = scaled.rows_per_waypoint_padded
+    return {
+        "coef": build_coef_pack(scaled),
+        "varc": varc,
+        "Pdp": Pdp,
+        "Plf": Plf,
+        "norm_Dq": norm_Dq,
+        "EEinv": rowc[:, : 2 * Rp],  # (W, [E; Einv] rows, B)
+    }
+
+
 def identity_scaling_lane(base) -> Scaling:
     n, B = base.q.shape
     m = base.l.shape[0]
@@ -534,16 +555,18 @@ def identity_scaling_lane(base) -> Scaling:
 
 def _solve_core(
     base, scaled, scaling: Scaling, settings: Settings,
-    wx=None, wy=None, rb=None, factor=None,
+    wx=None, wy=None, rb=None, factor=None, cached_packs=None,
 ):
     """Chunked ADMM loop on an already-equilibrated lane problem.
 
     ``wx``/``wy``: lane-major unscaled warm starts; ``factor``: a cached KKT
     factor consistent with ``rb`` (packed when the fused path is active,
-    full-block otherwise — session fast path).  Returns ``(SolveResult,
-    (x_lane, y_lane, rho_bar, factor))`` where the second element is the
-    lane-major carry a session threads into the next solve with zero
-    relayouts.
+    full-block otherwise — session fast path); ``cached_packs``: the
+    bounds-independent kernel constants from :func:`build_const_packs`
+    (sessions reuse them across re-solves — only the l/u-derived packs are
+    rebuilt per call).  Returns ``(SolveResult, (x_lane, y_lane, rho_bar,
+    factor))`` where the second element is the lane-major carry a session
+    threads into the next solve with zero relayouts.
     """
     from .admm_fused import (
         build_coef_pack,
@@ -572,9 +595,32 @@ def _solve_core(
         # carry entirely: the kernel emits the last iteration's deltas fresh
         # each chunk (zeros for frozen problems, whose certificates are
         # already decided), and termination consumes them within the body.
-        coef_pack = build_coef_pack(scaled)
         lu_pack = build_lu_pack(scaled)
-        resid_packs = build_residual_packs(scaled, scaling) + (scaling.cinv,)
+        if cached_packs is None:
+            coef_pack = build_coef_pack(scaled)
+            resid_packs = build_residual_packs(scaled, scaling) + (
+                scaling.cinv,
+            )
+        else:
+            coef_pack = cached_packs["coef"]
+            W_, Rp_ = scaled.waypoints, scaled.rows_per_waypoint_padded
+            B_ = scaled.batch
+            rowc = jnp.concatenate(
+                [
+                    cached_packs["EEinv"],
+                    scaled.l.reshape(W_, Rp_, B_),
+                    scaled.u.reshape(W_, Rp_, B_),
+                ],
+                axis=1,
+            )
+            resid_packs = (
+                rowc,
+                cached_packs["varc"],
+                cached_packs["Pdp"],
+                cached_packs["Plf"],
+                cached_packs["norm_Dq"],
+                scaling.cinv,
+            )
 
     def fresh_factor(rho_bar_arr, rho_vec_arr):
         """Packed (fused) or full-block (generic) factor for a given ρ."""

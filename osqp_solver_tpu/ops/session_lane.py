@@ -30,6 +30,7 @@ from flax import struct
 from .admm import Settings, SolveResult, _rho_vec
 from .admm_lane import (
     _solve_core,
+    build_const_packs,
     identity_scaling_lane,
     ruiz_equilibrate_lane,
 )
@@ -45,6 +46,7 @@ class LaneSession:
     warm_y: jnp.ndarray  # (m, B) unscaled dual carry
     rho_bar: jnp.ndarray  # (B,) carried ρ̄ (advanced by adaptation)
     factor: object  # cached KKT factor for (scaled, rho_bar)
+    cache: object = None  # bounds-independent kernel packs (fused path)
 
 
 def setup_lane(qps, settings: Settings = Settings()) -> LaneSession:
@@ -66,6 +68,13 @@ def setup_lane(qps, settings: Settings = Settings()) -> LaneSession:
     dtype = qps.q.dtype
     rho_bar = jnp.full((B,), settings.rho, dtype)
     factor = _fresh_factor(scaled, rho_bar, settings)
+    from .admm_fused import fused_chunk_supported
+
+    cache = (
+        build_const_packs(scaled, scaling)
+        if fused_chunk_supported(scaled, settings)
+        else None
+    )
     return LaneSession(
         base=qps,
         scaled=scaled,
@@ -74,6 +83,7 @@ def setup_lane(qps, settings: Settings = Settings()) -> LaneSession:
         warm_y=jnp.zeros((m, B), dtype),
         rho_bar=rho_bar,
         factor=factor,
+        cache=cache,
     )
 
 
@@ -109,7 +119,7 @@ def solve_lane(
     result, (x, y, rho_bar, factor) = _solve_core(
         session.base, session.scaled, session.scaling, settings,
         wx=session.warm_x, wy=session.warm_y, rb=session.rho_bar,
-        factor=session.factor,
+        factor=session.factor, cached_packs=session.cache,
     )
     return (
         session.replace(warm_x=x, warm_y=y, rho_bar=rho_bar, factor=factor),
