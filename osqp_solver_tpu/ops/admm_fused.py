@@ -278,18 +278,46 @@ def pack_factor(qp, factor):
 
 
 def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
-                 row_off, coef_off, ball_rows, ball_coefs, n_obstacles):
+                 row_off, coef_off, ball_rows, ball_coefs, n_obstacles,
+                 emit_term=False, VCp=None, PNp=None):
+    """Chunk kernel factory.
+
+    ``emit_term=True`` additionally computes EVERY OSQP termination /
+    certificate reduction (the :class:`~osqp_solver_tpu.ops.admm_lane.
+    TermQuantities` accumulators, same semantics as
+    :mod:`ops.residuals_pallas`) **inside the final iteration's backward
+    pass**, so no separate streaming termination pass is needed.  The
+    variable-space quantities (Aᵀy, Px, Aᵀdy, Pdx at waypoint u) touch rows
+    of waypoint u−1, which the descending backward pass has not produced
+    yet when it visits u — they are accumulated as one-step-delayed
+    partials: own-row terms at step u, the c1/a0/P-lower cross terms at
+    step u−1, reduction at u−1 (u=0 finalized in an epilogue).  Requires
+    the vel-diag P structure (the GOMP objective)."""
     B2 = 2 * N
     X0, Z0, Y0 = 0, B2, B2 + Rp  # row offsets inside the state tile
     LOW, UP, _ = _tri_maps(B2)
+    from .residuals_pallas import _ACC, _NACC
 
-    def kernel(
-        chol_hbm, gain_hbm, coef_hbm, q_hbm, lu_hbm, rho_hbm, done_vmem,
-        state_in,
-        state_hbm, dxdy_hbm, w_hbm,  # outputs; state_hbm aliases state_in
-        cbuf, gbuf, fbuf, qbuf, lubuf, rbuf, sbuf, dbuf, obuf, wbuf, wrbuf,
-        csem, gsem, fsem, qsem, lusem, rsem, ssem, dsem, osem, wsem, wrsem,
-    ):
+    ACC_KEYS = sorted(_ACC, key=_ACC.get)
+    from .admm import INF_THRESHOLD
+
+    def kernel(*refs):
+        if emit_term:
+            (chol_hbm, gain_hbm, coef_hbm, q_hbm, lu_hbm, rho_hbm,
+             ee_hbm, varc_hbm, pd_hbm, plf_hbm, done_vmem, state_in,
+             state_hbm, dxdy_hbm, w_hbm, acc_vmem,
+             cbuf, gbuf, fbuf, qbuf, lubuf, rbuf, sbuf, dbuf, obuf, wbuf,
+             wrbuf, eebuf, vcbuf, pdbuf, plbuf,
+             csem, gsem, fsem, qsem, lusem, rsem, ssem, dsem, osem, wsem,
+             wrsem, eesem, vcsem, pdsem, plsem) = refs
+        else:
+            (chol_hbm, gain_hbm, coef_hbm, q_hbm, lu_hbm, rho_hbm,
+             done_vmem, state_in,
+             state_hbm, dxdy_hbm, w_hbm,
+             cbuf, gbuf, fbuf, qbuf, lubuf, rbuf, sbuf, dbuf, obuf, wbuf,
+             wrbuf,
+             csem, gsem, fsem, qsem, lusem, rsem, ssem, dsem, osem, wsem,
+             wrsem) = refs
         del state_in  # same memory as state_hbm; use that ref
         sub0 = pl.program_id(0) * S
         zero = jnp.zeros((S, LANE), cbuf.dtype)
@@ -363,9 +391,77 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
                 x[i] = acc / cbuf[slot, LOW[(i, i)]]
             return x
 
-        def iteration(it, _):
-            last = it == n_iter - 1
+        def a_rows_stencil(s, val, nxt):
+            """A rows at the waypoint in coef slot ``s`` from variable
+            accessors ``val(i)`` (this waypoint) / ``nxt(i)`` (next)."""
+            zt = [None] * Rp
+            for j in range(N):
+                zt[row_off["dyn"] + j] = (
+                    fbuf[s, coef_off["c0"] + j] * val(N + j)
+                    + fbuf[s, coef_off["c1"] + j] * nxt(j)
+                    + fbuf[s, coef_off["c2"] + j] * val(j)
+                )
+                zt[row_off["pos"] + j] = fbuf[s, coef_off["pos"] + j] * val(j)
+                zt[row_off["vel"] + j] = (
+                    fbuf[s, coef_off["vel"] + j] * val(N + j)
+                )
+                zt[row_off["acc"] + j] = (
+                    fbuf[s, coef_off["a0"] + j] * nxt(N + j)
+                    + fbuf[s, coef_off["a1"] + j] * val(N + j)
+                )
+            for b in range(len(ball_rows)):
+                ws_r, obs_r = ball_rows[b]
+                ws_c, obs_c = ball_coefs[b]
+                if ws_r is not None:
+                    for a3 in range(3):
+                        acc = zero
+                        for j in range(N):
+                            acc = acc + fbuf[s, ws_c + a3 * N + j] * val(j)
+                        zt[ws_r + a3] = acc
+                if obs_r is not None:
+                    for o in range(n_obstacles):
+                        acc = zero
+                        for j in range(N):
+                            acc = acc + fbuf[s, obs_c + o * N + j] * val(j)
+                        zt[obs_r + o] = acc
+            return zt
 
+        def at_own(s, row):
+            """Own-row Aᵀ gather terms at the waypoint in slot ``s``:
+            contributions of THIS waypoint's constraint rows to its own
+            variables (c2/pos/ws/obs into q, c0/vel/a1 into v)."""
+            out = [zero] * B2
+            for j in range(N):
+                g = fbuf[s, coef_off["c2"] + j] * row(row_off["dyn"] + j)
+                g = g + fbuf[s, coef_off["pos"] + j] * row(row_off["pos"] + j)
+                for b in range(len(ball_rows)):
+                    ws_r, obs_r = ball_rows[b]
+                    ws_c, obs_c = ball_coefs[b]
+                    if ws_r is not None:
+                        for a3 in range(3):
+                            g = g + fbuf[s, ws_c + a3 * N + j] * row(ws_r + a3)
+                    if obs_r is not None:
+                        for o in range(n_obstacles):
+                            g = g + fbuf[s, obs_c + o * N + j] * row(obs_r + o)
+                out[j] = g
+                gv = fbuf[s, coef_off["c0"] + j] * row(row_off["dyn"] + j)
+                gv = gv + fbuf[s, coef_off["vel"] + j] * row(row_off["vel"] + j)
+                gv = gv + fbuf[s, coef_off["a1"] + j] * row(row_off["acc"] + j)
+                out[N + j] = gv
+            return out
+
+        def at_prev(s, row):
+            """Cross terms: contributions of the slot-``s`` waypoint's rows
+            to the NEXT waypoint's variables (c1 into q, a0 into v)."""
+            out = [zero] * B2
+            for j in range(N):
+                out[j] = fbuf[s, coef_off["c1"] + j] * row(row_off["dyn"] + j)
+                out[N + j] = (
+                    fbuf[s, coef_off["a0"] + j] * row(row_off["acc"] + j)
+                )
+            return out
+
+        def fwd_pass():
             # ===== forward: RHS build + forward substitution ===============
             start(fwd_streams, 0, 0)
 
@@ -439,72 +535,114 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
                 (tuple(zero for _ in range(B2)), zN, zN, zN, zN),
             )
 
+        ninf = jnp.full((S, LANE), -jnp.inf, cbuf.dtype)
+        pinf = jnp.full((S, LANE), jnp.inf, cbuf.dtype)
+        VQ, VD, VDI = 0, B2, 2 * B2  # varc row offsets (as residuals kernel)
+
+        if emit_term:
+            term_streams = (
+                (ee_hbm, eebuf, eesem, 2),
+                (varc_hbm, vcbuf, vcsem, 3),
+                (pd_hbm, pdbuf, pdsem, 2),
+                (plf_hbm, plbuf, plsem, 2),
+            )
+
+        def reduce_var_space(s3x, aty_f, atdy_f, px_f, pdx_f):
+            """max-reduce the variable-space quantities of one waypoint
+            using the varc rows in slot ``s3x``; returns the 5 tiles."""
+            draw_c, ndpx_c, ndaty_c, atdy_c, npdx_c = (
+                zero, zero, zero, zero, zero
+            )
+            for idx in range(B2):
+                Dinv_i = vcbuf[s3x, VDI + idx]
+                q_i = vcbuf[s3x, VQ + idx]
+                Px_i = zero if idx < N else px_f[idx - N]
+                Pdx_i = zero if idx < N else pdx_f[idx - N]
+                draw_c = jnp.maximum(
+                    draw_c, jnp.abs(Dinv_i * (Px_i + q_i + aty_f[idx]))
+                )
+                ndpx_c = jnp.maximum(ndpx_c, jnp.abs(Dinv_i * Px_i))
+                ndaty_c = jnp.maximum(ndaty_c, jnp.abs(Dinv_i * aty_f[idx]))
+                atdy_c = jnp.maximum(atdy_c, jnp.abs(Dinv_i * atdy_f[idx]))
+                npdx_c = jnp.maximum(npdx_c, jnp.abs(Dinv_i * Pdx_i))
+            return draw_c, ndpx_c, ndaty_c, atdy_c, npdx_c
+
+        def bwd_pass(final):
             # ===== backward: solve + project + dual update =================
             start(bwd_streams, (W - 1) % 2, W - 1)
+            if final and emit_term:
+                for hbm, buf, sem, ns in term_streams:
+                    dma(hbm, buf, sem, (W - 1) % ns, W - 1).start()
 
-            def bwd_body(i, xt_next):
+            zB2 = tuple(zero for _ in range(B2))
+            zNt = tuple(zero for _ in range(N))
+            if final and emit_term:
+                acc0 = []
+                for k in ACC_KEYS:
+                    if k == "Adx_max":
+                        acc0.append(ninf)
+                    elif k == "Adx_min":
+                        acc0.append(pinf)
+                    else:
+                        acc0.append(zero)
+                carry0 = (zB2, zB2, zB2, zB2, zB2, zB2, zNt, zNt, tuple(acc0))
+            else:
+                carry0 = zB2
+
+            def bwd_body(i, carry):
+                if final and emit_term:
+                    (xt_next, xsel_next, xold_next, dx_next,
+                     aty_p, atdy_p, px_p, pdx_p, accs) = carry
+                    acc = dict(zip(ACC_KEYS, accs))
+                else:
+                    xt_next = carry
                 t = W - 1 - i
                 s = t % 2
 
                 @pl.when(t > 0)
                 def _():
                     start(bwd_streams, (t - 1) % 2, t - 1)
+                    if final and emit_term:
+                        for hbm, buf, sem, ns in term_streams:
+                            dma(hbm, buf, sem, (t - 1) % ns, t - 1).start()
 
                 wait(bwd_streams, s, t)
+                if final and emit_term:
+                    for hbm, buf, sem, ns in term_streams:
+                        dma(hbm, buf, sem, t % ns, t).wait()
+                s3 = t % 3  # varc slot for waypoint t
+                s3n = (t + 1) % 3  # varc slot for waypoint t+1 (still live)
 
                 # x̃_t = C_t⁻ᵀ (w_t − G_tᵀ x̃_{t+1}); (Gᵀx)_i = Σ_{j≤i} G[j,i]·x_j.
                 b_rows = []
                 for ii in range(B2):
-                    acc = zero
+                    acc2 = zero
                     for j in range(ii + 1):
-                        acc = acc + gbuf[s, UP[(j, ii)]] * xt_next[j]
+                        acc2 = acc2 + gbuf[s, UP[(j, ii)]] * xt_next[j]
                     b_rows.append(
-                        jnp.where(t < W - 1, wrbuf[s, ii] - acc, wrbuf[s, ii])
+                        jnp.where(t < W - 1, wrbuf[s, ii] - acc2, wrbuf[s, ii])
                     )
                 xt = upper_solve(s, b_rows)
 
+                x_old = [sbuf[s, X0 + ii] for ii in range(B2)]
+                x_sel = [None] * B2
+                dx_t = [None] * B2
                 for ii in range(B2):
-                    x_new = alpha * xt[ii] + (1.0 - alpha) * sbuf[s, X0 + ii]
-                    obuf[s, X0 + ii] = sel(x_new, sbuf[s, X0 + ii])
-
-                    @pl.when(last)
-                    def _():
-                        dbuf[s, ii] = live * (x_new - sbuf[s, X0 + ii])
+                    x_new = alpha * xt[ii] + (1.0 - alpha) * x_old[ii]
+                    x_sel[ii] = sel(x_new, x_old[ii])
+                    obuf[s, X0 + ii] = x_sel[ii]
+                    dx_t[ii] = live * (x_new - x_old[ii])
+                    if final:
+                        dbuf[s, ii] = dx_t[ii]
 
                 # A-row apply at waypoint t (x̃_{t+1} still in registers).
-                zt = [None] * Rp
-                for j in range(N):
-                    zt[row_off["dyn"] + j] = (
-                        fbuf[s, coef_off["c0"] + j] * xt[N + j]
-                        + fbuf[s, coef_off["c1"] + j] * xt_next[j]
-                        + fbuf[s, coef_off["c2"] + j] * xt[j]
-                    )
-                    zt[row_off["pos"] + j] = (
-                        fbuf[s, coef_off["pos"] + j] * xt[j]
-                    )
-                    zt[row_off["vel"] + j] = (
-                        fbuf[s, coef_off["vel"] + j] * xt[N + j]
-                    )
-                    zt[row_off["acc"] + j] = (
-                        fbuf[s, coef_off["a0"] + j] * xt_next[N + j]
-                        + fbuf[s, coef_off["a1"] + j] * xt[N + j]
-                    )
-                for b in range(len(ball_rows)):
-                    ws_r, obs_r = ball_rows[b]
-                    ws_c, obs_c = ball_coefs[b]
-                    if ws_r is not None:
-                        for a3 in range(3):
-                            acc = zero
-                            for j in range(N):
-                                acc = acc + fbuf[s, ws_c + a3 * N + j] * xt[j]
-                            zt[ws_r + a3] = acc
-                    if obs_r is not None:
-                        for o in range(n_obstacles):
-                            acc = zero
-                            for j in range(N):
-                                acc = acc + fbuf[s, obs_c + o * N + j] * xt[j]
-                            zt[obs_r + o] = acc
+                zt = a_rows_stencil(
+                    s, lambda i2: xt[i2], lambda i2: xt_next[i2]
+                )
 
+                z_sel = [None] * Rp
+                y_sel = [None] * Rp
+                dy_t = [None] * Rp
                 for r in range(Rp):
                     ztr = zt[r] if zt[r] is not None else zero
                     z_old = sbuf[s, Z0 + r]
@@ -515,12 +653,13 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
                         lubuf[s, r], lubuf[s, Rp + r],
                     )
                     y_new = y_old + rbuf[s, r] * (z_tmp - z_new)
-                    obuf[s, Z0 + r] = sel(z_new, z_old)
-                    obuf[s, Y0 + r] = sel(y_new, y_old)
-
-                    @pl.when(last)
-                    def _():
-                        dbuf[s, B2 + r] = live * (y_new - y_old)
+                    z_sel[r] = sel(z_new, z_old)
+                    y_sel[r] = sel(y_new, y_old)
+                    dy_t[r] = live * (y_new - y_old)
+                    obuf[s, Z0 + r] = z_sel[r]
+                    obuf[s, Y0 + r] = y_sel[r]
+                    if final:
+                        dbuf[s, B2 + r] = dy_t[r]
 
                 for r in range(2 * N + 2 * Rp, SRp):
                     obuf[s, r] = zero
@@ -529,20 +668,166 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
                 wr.start()
                 wr.wait()
 
-                @pl.when(last)
-                def _():
+                if final:
                     for r in range(2 * N + Rp, DRp):
                         dbuf[s, r] = zero
                     wd = wdma(dbuf, dxdy_hbm, dsem, s, t)
                     wd.start()
                     wd.wait()
 
-                return tuple(xt)
+                if not (final and emit_term):
+                    return tuple(xt)
 
-            jax.lax.fori_loop(0, W, bwd_body, tuple(zero for _ in range(B2)))
+                # ===== termination reductions (final iteration only) =======
+                # Row space at waypoint t: A·x_sel from the already-computed
+                # A·x̃ (zt) plus one A-row apply on the OLD state; A·dx from
+                # the deltas.  Exactly the residuals-kernel formulas.
+                axold = a_rows_stencil(
+                    s, lambda i2: x_old[i2], lambda i2: xold_next[i2]
+                )
+                adx = a_rows_stencil(
+                    s, lambda i2: dx_t[i2], lambda i2: dx_next[i2]
+                )
+                pr_c, nax_c, nz_c, nedy_c = zero, zero, zero, zero
+                sup_c, lpos_c, lneg_c, ys_c = zero, zero, zero, zero
+                adxmx_c, adxmn_c = ninf, pinf
+                for r in range(Rp):
+                    ztr = zt[r] if zt[r] is not None else zero
+                    axo = axold[r] if axold[r] is not None else zero
+                    ax_sel = keep * axo + live * (
+                        alpha * ztr + (1.0 - alpha) * axo
+                    )
+                    Einv_r = eebuf[s, Rp + r]
+                    E_r = eebuf[s, r]
+                    pr_c = jnp.maximum(
+                        pr_c, jnp.abs(Einv_r * (ax_sel - z_sel[r]))
+                    )
+                    nax_c = jnp.maximum(nax_c, jnp.abs(Einv_r * ax_sel))
+                    nz_c = jnp.maximum(nz_c, jnp.abs(Einv_r * z_sel[r]))
+                    edy = E_r * dy_t[r]
+                    nedy_c = jnp.maximum(nedy_c, jnp.abs(edy))
+                    edy_pos = jnp.maximum(edy, 0.0)
+                    edy_neg = jnp.minimum(edy, 0.0)
+                    u_b = Einv_r * lubuf[s, Rp + r]
+                    l_b = Einv_r * lubuf[s, r]
+                    loose_u = u_b >= INF_THRESHOLD
+                    loose_l = l_b <= -INF_THRESHOLD
+                    sup_c = sup_c + jnp.where(
+                        loose_u, 0.0, u_b * edy_pos
+                    ) + jnp.where(loose_l, 0.0, l_b * edy_neg)
+                    lpos_c = jnp.maximum(
+                        lpos_c, jnp.where(loose_u, edy_pos, 0.0)
+                    )
+                    lneg_c = jnp.maximum(
+                        lneg_c, jnp.where(loose_l, -edy_neg, 0.0)
+                    )
+                    adxr = adx[r] if adx[r] is not None else zero
+                    eadx = Einv_r * adxr
+                    adxmx_c = jnp.maximum(
+                        adxmx_c, jnp.where(loose_u, ninf, eadx)
+                    )
+                    adxmn_c = jnp.minimum(
+                        adxmn_c, jnp.where(loose_l, pinf, eadx)
+                    )
+                    ys_c = ys_c + y_sel[r]
+                acc["prim_res"] = jnp.maximum(acc["prim_res"], pr_c)
+                acc["normEAx"] = jnp.maximum(acc["normEAx"], nax_c)
+                acc["normEz"] = jnp.maximum(acc["normEz"], nz_c)
+                acc["normEdy"] = jnp.maximum(acc["normEdy"], nedy_c)
+                acc["support"] = acc["support"] + sup_c
+                acc["loose_pos"] = jnp.maximum(acc["loose_pos"], lpos_c)
+                acc["loose_neg"] = jnp.maximum(acc["loose_neg"], lneg_c)
+                acc["Adx_max"] = jnp.maximum(acc["Adx_max"], adxmx_c)
+                acc["Adx_min"] = jnp.minimum(acc["Adx_min"], adxmn_c)
+                acc["ysum"] = acc["ysum"] + ys_c
+
+                # Variable space, waypoint t+1: finalize the carried partials
+                # with this waypoint's cross terms (c1/a0 rows, P-lower).
+                cross_y = at_prev(s, lambda r: y_sel[r])
+                cross_dy = at_prev(s, lambda r: dy_t[r])
+                aty_f = [aty_p[i2] + cross_y[i2] for i2 in range(B2)]
+                atdy_f = [atdy_p[i2] + cross_dy[i2] for i2 in range(B2)]
+                px_f = [
+                    px_p[j] + plbuf[s, j] * x_sel[N + j] for j in range(N)
+                ]
+                pdx_f = [
+                    pdx_p[j] + plbuf[s, j] * dx_t[N + j] for j in range(N)
+                ]
+                draw_c, ndpx_c, ndaty_c, atdy_c, npdx_c = reduce_var_space(
+                    s3n, aty_f, atdy_f, px_f, pdx_f
+                )
+                has_next = t < W - 1
+
+                def m_max(key, c):
+                    acc[key] = jnp.where(
+                        has_next, jnp.maximum(acc[key], c), acc[key]
+                    )
+
+                m_max("dual_raw", draw_c)
+                m_max("normDPx", ndpx_c)
+                m_max("normDATy", ndaty_c)
+                m_max("At_dy", atdy_c)
+                m_max("Pdx_max", npdx_c)
+
+                # Own-value variable reductions at waypoint t.
+                ndx_c, qdot_c, xs_c = zero, zero, zero
+                for idx in range(B2):
+                    ndx_c = jnp.maximum(
+                        ndx_c, jnp.abs(vcbuf[s3, VD + idx] * dx_t[idx])
+                    )
+                    qdot_c = qdot_c + vcbuf[s3, VQ + idx] * dx_t[idx]
+                    xs_c = xs_c + x_sel[idx]
+                acc["norm_dx"] = jnp.maximum(acc["norm_dx"], ndx_c)
+                acc["q_dot"] = acc["q_dot"] + qdot_c
+                acc["xsum"] = acc["xsum"] + xs_c
+
+                # Fresh partials for waypoint t (own-row terms).
+                aty_n = at_own(s, lambda r: y_sel[r])
+                atdy_n = at_own(s, lambda r: dy_t[r])
+                px_n = tuple(
+                    pdbuf[s, j] * x_sel[N + j]
+                    + plbuf[s, j] * xsel_next[N + j]
+                    for j in range(N)
+                )
+                pdx_n = tuple(
+                    pdbuf[s, j] * dx_t[N + j] + plbuf[s, j] * dx_next[N + j]
+                    for j in range(N)
+                )
+                return (
+                    tuple(xt), tuple(x_sel), tuple(x_old), tuple(dx_t),
+                    tuple(aty_n), tuple(atdy_n), px_n, pdx_n,
+                    tuple(acc[k] for k in ACC_KEYS),
+                )
+
+            out = jax.lax.fori_loop(0, W, bwd_body, carry0)
+            if not (final and emit_term):
+                return
+
+            # Epilogue: waypoint 0's variable-space quantities are complete
+            # (no u−1 cross terms); varc slot 0 is still resident.
+            (_, _, _, _, aty_p, atdy_p, px_p, pdx_p, accs) = out
+            acc = dict(zip(ACC_KEYS, accs))
+            draw_c, ndpx_c, ndaty_c, atdy_c, npdx_c = reduce_var_space(
+                0, list(aty_p), list(atdy_p), list(px_p), list(pdx_p)
+            )
+            acc["dual_raw"] = jnp.maximum(acc["dual_raw"], draw_c)
+            acc["normDPx"] = jnp.maximum(acc["normDPx"], ndpx_c)
+            acc["normDATy"] = jnp.maximum(acc["normDATy"], ndaty_c)
+            acc["At_dy"] = jnp.maximum(acc["At_dy"], atdy_c)
+            acc["Pdx_max"] = jnp.maximum(acc["Pdx_max"], npdx_c)
+            for k, idx in _ACC.items():
+                acc_vmem[idx] = acc[k]
+            for idx in range(len(_ACC), _NACC):
+                acc_vmem[idx] = zero
+
+        def plain_iteration(it, _):
+            fwd_pass()
+            bwd_pass(final=False)
             return 0
 
-        jax.lax.fori_loop(0, n_iter, iteration, 0)
+        jax.lax.fori_loop(0, n_iter - 1, plain_iteration, 0)
+        fwd_pass()
+        bwd_pass(final=True)
 
     return kernel
 
@@ -557,10 +842,18 @@ def _tile(a, GS):
     return a.reshape(*a.shape[:-1], GS, LANE)
 
 
+def term_fused_supported(scaled, settings) -> bool:
+    """emit_term needs the vel-diag P structure on top of the chunk gates."""
+    return (
+        fused_chunk_supported(scaled, settings)
+        and scaled.p_structure == "vel_diag"
+    )
+
+
 def fused_admm_chunk(
     scaled, factor, x, z, y, rho_vec, done, settings,
     coef=None, lu=None, packed_factor=None, interpret=None,
-    return_packed=False, state_pack=None,
+    return_packed=False, state_pack=None, term_packs=None,
 ):
     """Run ``settings.check_termination`` ADMM iterations fused.
 
@@ -578,6 +871,13 @@ def fused_admm_chunk(
     (``x``/``z``/``y`` may be None); returns only
     ``(state_out, dxdy_out)``.  This is how the driver carries state across
     chunks with zero relayouts.
+
+    ``term_packs``: ``(EEinv (W, 2Rp, B), varc, Pdp, Plf)`` (the
+    bounds-independent residual packs; vel-diag only, see
+    :func:`term_fused_supported`) — the kernel then ALSO emits the raw
+    termination accumulators during the final iteration's backward pass
+    (no separate streaming termination pass), and the return gains a
+    trailing ``acc (NACC, B)`` element.
     """
     W, N, B = scaled.waypoints, scaled.n_dim, scaled.batch
     Rp = scaled.rows_per_waypoint_padded
@@ -607,6 +907,15 @@ def fused_admm_chunk(
     rho3 = rho_vec.reshape(W, Rp, B)
     done_f = done.astype(dt).reshape(GS, LANE)
 
+    emit_term = term_packs is not None
+    VCp = PNp = None
+    if emit_term:
+        from .residuals_pallas import _NACC
+
+        assert scaled.p_structure == "vel_diag", "emit_term needs vel_diag P"
+        ee, varc, Pdp, Plf = term_packs
+        VCp, PNp = varc.shape[1], Pdp.shape[1]
+
     kernel = _make_kernel(
         W=W, N=N, Rp=Rp, CRp=CRp, SRp=SRp, DRp=DRp, S=S,
         n_iter=settings.check_termination,
@@ -614,71 +923,98 @@ def fused_admm_chunk(
         row_off=row_off, coef_off=coef_off,
         ball_rows=ball_rows, ball_coefs=ball_coefs,
         n_obstacles=scaled.n_obstacles,
+        emit_term=emit_term, VCp=VCp, PNp=PNp,
     )
 
-    state_out, dxdy_out, _ = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),  # cholp
+        pl.BlockSpec(memory_space=pl.ANY),  # gainp
+        pl.BlockSpec(memory_space=pl.ANY),  # coef
+        pl.BlockSpec(memory_space=pl.ANY),  # q
+        pl.BlockSpec(memory_space=pl.ANY),  # lu
+        pl.BlockSpec(memory_space=pl.ANY),  # rho
+    ]
+    inputs = [
+        _tile(cholp, GS), _tile(gainp, GS), _tile(coef, GS), _tile(q_int, GS),
+        _tile(lu, GS), _tile(rho3, GS),
+    ]
+    if emit_term:
+        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 4
+        inputs += [_tile(ee, GS), _tile(varc, GS), _tile(Pdp, GS), _tile(Plf, GS)]
+    in_specs += [
+        pl.BlockSpec(  # done mask, auto-blocked per program
+            (S, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(memory_space=pl.ANY),  # state (aliased to out 0)
+    ]
+    inputs += [done_f, _tile(state, GS)]
+    state_in_idx = len(inputs) - 1
+
+    out_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((W, SRp, GS, LANE), dt),
+        jax.ShapeDtypeStruct((W, DRp, GS, LANE), dt),
+        jax.ShapeDtypeStruct((W, 2 * N, GS, LANE), dt),  # w scratch
+    ]
+    if emit_term:
+        out_specs.append(
+            pl.BlockSpec((_NACC, S, LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((_NACC, GS, LANE), dt))
+
+    scratch = [
+        pltpu.VMEM((2, Tp, S, LANE), dt),  # cbuf (packed chol)
+        pltpu.VMEM((2, Tp, S, LANE), dt),  # gbuf (packed gain)
+        pltpu.VMEM((2, CRp, S, LANE), dt),  # fbuf
+        pltpu.VMEM((2, 2 * N, S, LANE), dt),  # qbuf
+        pltpu.VMEM((2, 2 * Rp, S, LANE), dt),  # lubuf
+        pltpu.VMEM((2, Rp, S, LANE), dt),  # rbuf
+        pltpu.VMEM((2, SRp, S, LANE), dt),  # sbuf
+        pltpu.VMEM((2, DRp, S, LANE), dt),  # dbuf
+        pltpu.VMEM((2, SRp, S, LANE), dt),  # obuf
+        pltpu.VMEM((2, 2 * N, S, LANE), dt),  # wbuf (fwd write)
+        pltpu.VMEM((2, 2 * N, S, LANE), dt),  # wrbuf (bwd read)
+    ]
+    if emit_term:
+        scratch += [
+            pltpu.VMEM((2, 2 * Rp, S, LANE), dt),  # eebuf (E; Einv)
+            pltpu.VMEM((3, VCp, S, LANE), dt),  # vcbuf (3-slot: t+1 live)
+            pltpu.VMEM((2, PNp, S, LANE), dt),  # pdbuf
+            pltpu.VMEM((2, PNp, S, LANE), dt),  # plbuf
+        ]
+    n_sems = 11 + (4 if emit_term else 0)
+    scratch += [
+        pltpu.SemaphoreType.DMA((3,)) for _ in range(n_sems)
+    ]
+
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # cholp
-            pl.BlockSpec(memory_space=pl.ANY),  # gainp
-            pl.BlockSpec(memory_space=pl.ANY),  # coef
-            pl.BlockSpec(memory_space=pl.ANY),  # q
-            pl.BlockSpec(memory_space=pl.ANY),  # lu
-            pl.BlockSpec(memory_space=pl.ANY),  # rho
-            pl.BlockSpec(  # done mask, auto-blocked per program
-                (S, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pl.ANY),  # state (aliased to out 0)
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((W, SRp, GS, LANE), dt),
-            jax.ShapeDtypeStruct((W, DRp, GS, LANE), dt),
-            jax.ShapeDtypeStruct((W, 2 * N, GS, LANE), dt),  # w scratch
-        ),
-        input_output_aliases={7: 0},
-        scratch_shapes=[
-            pltpu.VMEM((2, Tp, S, LANE), dt),  # cbuf (packed chol)
-            pltpu.VMEM((2, Tp, S, LANE), dt),  # gbuf (packed gain)
-            pltpu.VMEM((2, CRp, S, LANE), dt),  # fbuf
-            pltpu.VMEM((2, 2 * N, S, LANE), dt),  # qbuf
-            pltpu.VMEM((2, 2 * Rp, S, LANE), dt),  # lubuf
-            pltpu.VMEM((2, Rp, S, LANE), dt),  # rbuf
-            pltpu.VMEM((2, SRp, S, LANE), dt),  # sbuf
-            pltpu.VMEM((2, DRp, S, LANE), dt),  # dbuf
-            pltpu.VMEM((2, SRp, S, LANE), dt),  # obuf
-            pltpu.VMEM((2, 2 * N, S, LANE), dt),  # wbuf (fwd write)
-            pltpu.VMEM((2, 2 * N, S, LANE), dt),  # wrbuf (bwd read)
-            pltpu.SemaphoreType.DMA((2,)),  # csem
-            pltpu.SemaphoreType.DMA((2,)),  # gsem
-            pltpu.SemaphoreType.DMA((2,)),  # fsem
-            pltpu.SemaphoreType.DMA((2,)),  # qsem
-            pltpu.SemaphoreType.DMA((2,)),  # lusem
-            pltpu.SemaphoreType.DMA((2,)),  # rsem
-            pltpu.SemaphoreType.DMA((2,)),  # ssem
-            pltpu.SemaphoreType.DMA((2,)),  # dsem
-            pltpu.SemaphoreType.DMA((2,)),  # osem
-            pltpu.SemaphoreType.DMA((2,)),  # wsem
-            pltpu.SemaphoreType.DMA((2,)),  # wrsem
-        ],
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        input_output_aliases={state_in_idx: 0},
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(
-        _tile(cholp, GS), _tile(gainp, GS), _tile(coef, GS), _tile(q_int, GS),
-        _tile(lu, GS), _tile(rho3, GS), done_f, _tile(state, GS),
-    )
+    )(*inputs)
 
-    state_out = state_out.reshape(W, SRp, B)
-    dxdy_out = dxdy_out.reshape(W, DRp, B)
+    state_out = outs[0].reshape(W, SRp, B)
+    dxdy_out = outs[1].reshape(W, DRp, B)
+    acc = outs[3].reshape(-1, B) if emit_term else None
     if state_pack is not None:
+        if emit_term:
+            return state_out, dxdy_out, acc
         return state_out, dxdy_out
     x2, z2, y2 = unpack_state(scaled, state_out)
     dx2, dy2 = unpack_dxdy(scaled, dxdy_out)
     if return_packed:
-        return x2, z2, y2, dx2, dy2, state_out, dxdy_out
-    return x2, z2, y2, dx2, dy2
+        out = (x2, z2, y2, dx2, dy2, state_out, dxdy_out)
+    else:
+        out = (x2, z2, y2, dx2, dy2)
+    return out + (acc,) if emit_term else out

@@ -575,15 +575,18 @@ def _solve_core(
         fused_chunk_supported,
         pack_factor,
         pack_state,
+        term_fused_supported,
         unpack_state,
     )
     from .kkt_factor_pallas import factor_packed_lane, factor_packed_supported
 
     use_fused = fused_chunk_supported(scaled, settings)
     use_packed_factor = use_fused and factor_packed_supported(scaled)
+    use_term_fused = term_fused_supported(scaled, settings)
 
     if use_fused:
         from .residuals_pallas import (
+            assemble_term_quantities,
             build_residual_packs,
             termination_quantities_kernel,
         )
@@ -655,10 +658,33 @@ def _solve_core(
             z=None, y=None, dx=None, dy=None,
         )
 
+    if use_term_fused:
+        # (EEinv, varc, Pdp, Plf): termination reductions ride the chunk
+        # kernel's final backward pass — no separate streaming pass.
+        Rp_ = scaled.rows_per_waypoint_padded
+        term_packs = (resid_packs[0][:, : 2 * Rp_],) + resid_packs[1:4]
+        norm_Dq = resid_packs[4]
+
     def chunk(st):
         # Factor constant within a chunk — keep it out of the carry.
         factor = st.factor
-        if use_fused:
+        if use_term_fused:
+            sp, dp, acc = fused_admm_chunk(
+                scaled, None, None, None, None, st.rho_vec, st.done,
+                settings, coef=coef_pack, lu=lu_pack, packed_factor=factor,
+                state_pack=st.x, term_packs=term_packs,
+            )
+            st = st.replace(
+                x=sp,
+                iterations=st.iterations
+                + jnp.where(st.done, 0, settings.check_termination).astype(
+                    jnp.int32
+                ),
+            )
+            tq = assemble_term_quantities(acc, scaling.cinv, norm_Dq)
+            st, norms = _termination_decide(st, tq, settings)
+            st = st.replace(factor=factor)
+        elif use_fused:
             sp, dp = fused_admm_chunk(
                 scaled, None, None, None, None, st.rho_vec, st.done,
                 settings, coef=coef_pack, lu=lu_pack, packed_factor=factor,

@@ -491,10 +491,16 @@ def termination_quantities_kernel(
         tile(dxdy_pack), tile(rowc), tile(varc),
     )
 
-    a = acc.reshape(_NACC, B)
+    return assemble_term_quantities(acc.reshape(_NACC, B), cinv, norm_Dq)
+
+
+def assemble_term_quantities(acc, cinv, norm_Dq) -> TermQuantities:
+    """(NACC, B) raw accumulators → :class:`TermQuantities` (applies the
+    host-side cinv/norm_Dq combines).  Shared by this kernel and the
+    termination-fused chunk kernel (ops/admm_fused.py emit_term path)."""
 
     def g(k):
-        return a[_ACC[k]]
+        return acc[_ACC[k]]
 
     return TermQuantities(
         prim_res=g("prim_res"),

@@ -144,3 +144,67 @@ def test_fused_solve_end_to_end():
     np.testing.assert_allclose(
         np.asarray(got.x), np.asarray(ref.x), rtol=1e-7, atol=1e-9
     )
+
+
+@pytest.mark.parametrize("honest", [True, False])
+def test_emit_term_matches_separate_kernel(honest):
+    """The termination accumulators emitted by the chunk kernel's final
+    backward pass must match the standalone streaming termination kernel
+    field-for-field (incl. every infeasibility-certificate quantity)."""
+    from osqp_solver_tpu.ops.admm_fused import (
+        build_coef_pack,
+        build_lu_pack,
+        fused_admm_chunk,
+        pack_factor,
+        term_fused_supported,
+    )
+    from osqp_solver_tpu.ops.residuals_pallas import (
+        assemble_term_quantities,
+        build_residual_packs,
+        termination_quantities_kernel,
+    )
+
+    lane = build_wp_batch(honest=honest)
+    settings = dataclasses.replace(
+        admm.Settings(), check_termination=4, fused_chunk="on"
+    )
+    assert term_fused_supported(lane, settings)
+    scaled, scaling = ruiz_equilibrate_lane(lane, settings.scaling)
+    st = init_state_lane(scaled, settings)
+    coef = build_coef_pack(scaled)
+    lu = build_lu_pack(scaled)
+    pf = pack_factor(scaled, st.factor)
+    packs = build_residual_packs(scaled, scaling)
+    rowc, varc, Pdp, Plf, norm_Dq = packs
+    Rp = scaled.rows_per_waypoint_padded
+    # Mark a few problems done up front: frozen problems must keep their
+    # state and zero their deltas in the reductions too.
+    done = jnp.zeros((lane.batch,), bool).at[::7].set(True)
+
+    sp_ref, dp_ref = fused_admm_chunk(
+        scaled, None, st.x, st.z, st.y, st.rho_vec, done, settings,
+        coef=coef, lu=lu, packed_factor=pf, state_pack=None,
+        return_packed=True, interpret=True,
+    )[5:7]
+    tq_ref = termination_quantities_kernel(
+        scaled, sp_ref, dp_ref, coef, packs + (scaling.cinv,),
+        interpret=True,
+    )
+
+    sp, dp, acc = fused_admm_chunk(
+        scaled, None, st.x, st.z, st.y, st.rho_vec, done, settings,
+        coef=coef, lu=lu, packed_factor=pf,
+        state_pack=__import__("osqp_solver_tpu.ops.admm_fused",
+                              fromlist=["pack_state"]).pack_state(
+            scaled, st.x, st.z, st.y
+        ),
+        term_packs=(rowc[:, : 2 * Rp], varc, Pdp, Plf), interpret=True,
+    )
+    tq = assemble_term_quantities(acc, scaling.cinv, norm_Dq)
+
+    np.testing.assert_allclose(np.asarray(sp), np.asarray(sp_ref), rtol=1e-12)
+    for name in tq._fields:
+        a, b = np.asarray(getattr(tq, name)), np.asarray(getattr(tq_ref, name))
+        np.testing.assert_allclose(
+            a, b, rtol=1e-9, atol=1e-12, err_msg=f"field {name}"
+        )
