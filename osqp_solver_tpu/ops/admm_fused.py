@@ -632,7 +632,7 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
                     x_sel[ii] = sel(x_new, x_old[ii])
                     obuf[s, X0 + ii] = x_sel[ii]
                     dx_t[ii] = live * (x_new - x_old[ii])
-                    if final:
+                    if final and not emit_term:
                         dbuf[s, ii] = dx_t[ii]
 
                 # A-row apply at waypoint t (x̃_{t+1} still in registers).
@@ -658,7 +658,7 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
                     dy_t[r] = live * (y_new - y_old)
                     obuf[s, Z0 + r] = z_sel[r]
                     obuf[s, Y0 + r] = y_sel[r]
-                    if final:
+                    if final and not emit_term:
                         dbuf[s, B2 + r] = dy_t[r]
 
                 for r in range(2 * N + 2 * Rp, SRp):
@@ -668,7 +668,9 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
                 wr.start()
                 wr.wait()
 
-                if final:
+                if final and not emit_term:
+                    # emit_term consumes dx/dy in-register during the
+                    # reductions below — the packed deltas never hit HBM.
                     for r in range(2 * N + Rp, DRp):
                         dbuf[s, r] = zero
                     wd = wdma(dbuf, dxdy_hbm, dsem, s, t)
@@ -957,7 +959,10 @@ def fused_admm_chunk(
     ]
     out_shape = [
         jax.ShapeDtypeStruct((W, SRp, GS, LANE), dt),
-        jax.ShapeDtypeStruct((W, DRp, GS, LANE), dt),
+        # emit_term never writes the delta pack (consumed in-register).
+        jax.ShapeDtypeStruct(
+            (1, DRp, GS, LANE) if emit_term else (W, DRp, GS, LANE), dt
+        ),
         jax.ShapeDtypeStruct((W, 2 * N, GS, LANE), dt),  # w scratch
     ]
     if emit_term:
@@ -1005,14 +1010,16 @@ def fused_admm_chunk(
     )(*inputs)
 
     state_out = outs[0].reshape(W, SRp, B)
-    dxdy_out = outs[1].reshape(W, DRp, B)
+    dxdy_out = None if emit_term else outs[1].reshape(W, DRp, B)
     acc = outs[3].reshape(-1, B) if emit_term else None
     if state_pack is not None:
         if emit_term:
             return state_out, dxdy_out, acc
         return state_out, dxdy_out
     x2, z2, y2 = unpack_state(scaled, state_out)
-    dx2, dy2 = unpack_dxdy(scaled, dxdy_out)
+    dx2 = dy2 = None
+    if not emit_term:
+        dx2, dy2 = unpack_dxdy(scaled, dxdy_out)
     if return_packed:
         out = (x2, z2, y2, dx2, dy2, state_out, dxdy_out)
     else:
