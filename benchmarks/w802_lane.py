@@ -1,0 +1,108 @@
+"""Reference-example-scale QPs (W=802, 6-DOF UR5e) batched on the lane driver.
+
+The reference's own flagship problem (`/root/reference/examples/
+solver-example.cpp:13`: 802 waypoints) solved as a BATCH on one chip —
+round 1 solved it single-problem in 218 s wall; this measures the fused
+streaming pipeline on the same class.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/w802_lane.py
+       [--batch 128] [--waypoints 802]
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--waypoints", type=int, default=802)
+    ap.add_argument("--ct", type=int, default=13)
+    ap.add_argument("--rho", type=float, default=0.05)
+    args = ap.parse_args()
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    import jax.numpy as jnp
+
+    from bench import build_honest_batch
+    from osqp_solver_tpu.ops import admm
+    from osqp_solver_tpu.ops.admm_lane import solve_batched_lane
+
+    def sync(a):
+        return float(jnp.sum(a))
+
+    dtype = jnp.float32
+    B, W, N = args.batch, args.waypoints, 6
+    settings = dataclasses.replace(
+        admm.Settings(), rho=args.rho, check_termination=args.ct,
+        adaptive_rho_interval=3 * args.ct,
+    )
+    t0 = time.time()
+    lane = build_honest_batch(B, W, N, dtype)
+    sync(lane.ws_l)
+    log(f"batch built: {time.time()-t0:.1f}s (B={B}, W={W})")
+
+    @jax.jit
+    def solve(qps, rho0):
+        r = solve_batched_lane(qps, settings, rho0=rho0)
+        return r.x, r.status, r.iterations, r.prim_res
+
+    r0 = jnp.asarray(args.rho, dtype)
+    t0 = time.time()
+    x, status, iters, pr = solve(lane, r0)
+    sync(x)
+    log(f"compile+first: {time.time()-t0:.1f}s")
+    st = np.asarray(status)
+    it = np.asarray(iters)
+    n_opt = int(np.sum(st == 0))
+    log(
+        f"optimal {n_opt}/{B}; iters p50={int(np.median(it))} "
+        f"max={int(np.max(it))}; prim_res max={float(np.max(np.asarray(pr))):.2e}"
+    )
+
+    reps = 3
+
+    @jax.jit
+    def solve_k(qps, rho0):
+        def body(i, eps):
+            r = solve_batched_lane(qps, settings, rho0=rho0 + eps)
+            return 0.0 * jnp.sum(r.x)
+
+        return jax.lax.fori_loop(0, reps, body, jnp.asarray(0.0, dtype))
+
+    sync(solve_k(lane, r0))
+    t0 = time.time()
+    sync(solve_k(lane, r0))
+    dt = (time.time() - t0) / reps
+    log(f"steady-state: {dt*1e3:.1f} ms/batch -> {n_opt/dt:.1f} QPs/s")
+    print(
+        json.dumps(
+            {
+                "metric": "w802_reference_scale_qps_per_sec",
+                "value": round(n_opt / dt, 2),
+                "unit": f"QPs/s (W={W} 6-DOF UR5e honest class, batch {B})",
+                "ms_per_batch": round(dt * 1e3, 1),
+                "optimal": n_opt,
+                "median_iters": int(np.median(it)),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
