@@ -208,3 +208,27 @@ def test_emit_term_matches_separate_kernel(honest):
         np.testing.assert_allclose(
             a, b, rtol=1e-9, atol=1e-12, err_msg=f"field {name}"
         )
+
+
+def test_block_p_structure_fused_driver():
+    """With a dense-block P structure the driver must fall back to the
+    generic packed factor + standalone termination kernel (no emit_term,
+    no factor_packed_lane) and still match the unfused path."""
+    from osqp_solver_tpu.ops.admm_fused import term_fused_supported
+    from osqp_solver_tpu.ops.kkt_factor_pallas import factor_packed_supported
+
+    lane = build_wp_batch(honest=True).replace(p_structure="block")
+    settings = dataclasses.replace(
+        admm.Settings(), check_termination=5, fused_chunk="on"
+    )
+    assert not term_fused_supported(lane, settings)
+    assert not factor_packed_supported(lane)
+    got = solve_batched_lane(lane, settings)
+    ref = solve_batched_lane(
+        lane, dataclasses.replace(settings, fused_chunk="off")
+    )
+    np.testing.assert_array_equal(np.asarray(got.status), np.asarray(ref.status))
+    assert np.all(np.asarray(got.status) == ExitCode.kOptimal)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=1e-8, atol=1e-8
+    )
