@@ -34,8 +34,6 @@ cached-LDLᵀ solve + projection + dual update (α = 1.6 over-relaxation).
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -43,10 +41,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 MAX_SUBLANES = 8
-
-# VMEM cap for the in-kernel w buffer (W, 2N, S, LANE) f32; beyond this the
-# driver falls back to the unfused chunk loop.
-_W_VMEM_BUDGET = 6 * 1024 * 1024
 
 
 def _pad8(n: int) -> int:

@@ -21,13 +21,11 @@ scalar session's ``guard_reclassification`` rationale applies unchanged.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .admm import Settings, SolveResult, _rho_vec
+from .admm import Settings, _rho_vec
 from .admm_lane import (
     _solve_core,
     build_const_packs,
