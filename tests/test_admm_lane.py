@@ -365,3 +365,39 @@ def test_rho0_traced_matches_static_rho():
     np.testing.assert_allclose(
         np.asarray(got.rho), np.asarray(ref.rho), rtol=1e-10, atol=0
     )
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_randomized_bounds_fused_parity(seed):
+    """Random per-problem bound perturbations (random tightenings, a few
+    rows flipped to equalities or loosened to ±INF) — the fused lane solve
+    must agree with the vmapped reference core on status and solution."""
+    from osqp_solver_tpu.ops.admm import solve_batched
+
+    rng = np.random.default_rng(seed)
+    qps = build_batch(honest=True)
+    dtype = qps.q_vec.dtype
+    # Perturb velocity bounds per problem (keeps feasibility: the warm
+    # straight line has |v| <= ~0.13 per step for these endpoints).
+    scale = jnp.asarray(
+        0.5 + 0.5 * rng.random((B, 1, 1)), dtype
+    )
+    vel_l = qps.vel_l * scale
+    vel_u = qps.vel_u * scale
+    # Loosen a random subset of position rows to one-sided constraints.
+    loosen = jnp.asarray(rng.random((B, W, N)) < 0.2)
+    pos_l = jnp.where(loosen, -1e30, qps.pos_l)
+    qps = qps.replace(vel_l=vel_l, vel_u=vel_u, pos_l=pos_l)
+
+    settings = dataclasses.replace(
+        admm.Settings(), check_termination=5, fused_chunk="on"
+    )
+    got = solve_batched_lane(to_lane(qps), settings)
+    ref = solve_batched(
+        qps, dataclasses.replace(settings, fused_chunk="off")
+    )
+    np.testing.assert_array_equal(np.asarray(got.status), np.asarray(ref.status))
+    assert np.all(np.asarray(got.status) == ExitCode.kOptimal)
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=1e-6, atol=1e-7
+    )
