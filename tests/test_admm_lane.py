@@ -401,3 +401,21 @@ def test_randomized_bounds_fused_parity(seed):
     np.testing.assert_allclose(
         np.asarray(got.x), np.asarray(ref.x), rtol=1e-6, atol=1e-7
     )
+
+
+def test_infeasible_detected_through_fused_emit_path():
+    """End-to-end: the fused chunk kernel's in-pass certificate reductions
+    must drive the same non-optimal statuses as the unfused path."""
+    qps = build_batch(honest=True, tight_obstacle=True)
+    settings = dataclasses.replace(
+        admm.Settings(), check_termination=5, fused_chunk="on"
+    )
+    got = solve_batched_lane(to_lane(qps), settings)
+    ref = solve_batched_lane(
+        to_lane(qps), dataclasses.replace(settings, fused_chunk="off")
+    )
+    np.testing.assert_array_equal(np.asarray(got.status), np.asarray(ref.status))
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(ref.iterations)
+    )
+    assert np.all(np.asarray(ref.status) != ExitCode.kOptimal)
