@@ -125,7 +125,23 @@ def main():
     from osqp_solver_tpu.ops import admm
     from osqp_solver_tpu.ops.admm_lane import solve_batched_lane
 
+    # Fail fast if the TPU tunnel is dead: jax.devices() otherwise retries
+    # forever (observed when the relay process died mid-round).
+    import os
+    import threading
+
+    def _watchdog():
+        log(
+            "FATAL: jax.devices() hung >120 s — TPU tunnel/relay is down "
+            "(check the relay ports, e.g. 127.0.0.1:8082)."
+        )
+        os._exit(3)
+
+    wd = threading.Timer(120.0, _watchdog)
+    wd.daemon = True
+    wd.start()
     dev = jax.devices()[0]
+    wd.cancel()
     log(f"device: {dev} platform={dev.platform}")
 
     dtype = jnp.float32
