@@ -1,0 +1,28 @@
+#!/bin/bash
+# One-shot TPU measurement sequence (run when the tunnel is healthy).
+# Usage: bash benchmarks/tpu_runbook.sh [outdir]
+set -u
+OUT=${1:-/tmp/runbook}
+mkdir -p "$OUT"
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo
+
+run() {
+  name=$1; shift
+  echo "=== $name ==="
+  timeout 1500 "$@" >"$OUT/$name.json" 2>"$OUT/$name.log"
+  echo "--- $name exit=$? ---"
+  tail -5 "$OUT/$name.log"
+  cat "$OUT/$name.json"
+}
+
+run bench python bench.py
+RHOS=0.05 ADAPTIVE=0 ALPHA=1.7 run alpha17 python benchmarks/rho_sweep.py 17
+RHOS=0.05 ADAPTIVE=0 ALPHA=1.8 run alpha18 python benchmarks/rho_sweep.py 17
+RHOS=0.05 ADAPTIVE=0 SCALING=5 run scaling5 python benchmarks/rho_sweep.py 17
+RHOS=0.05 ADAPTIVE=0 run ct34 python benchmarks/rho_sweep.py 34
+run mpc_fleet python benchmarks/mpc_fleet.py
+run planner python benchmarks/planner_batch.py --batch 1024 --skip-vmap --rho 0.05 --ct 13 --ari 39
+run w802 python benchmarks/w802_lane.py --batch 128
+run run_all python benchmarks/run_all.py
+echo "=== runbook done; results in $OUT ==="
