@@ -147,17 +147,19 @@ def main():
     dtype = jnp.float32
     BATCH, W, N = 1024, 100, 6
     # OSQP-default tolerances (eps_abs = eps_rel = 1e-3, unchanged); initial
-    # ρ and the termination-check cadence are pure performance knobs.  The
-    # honest class converges in ≤34 iterations from ρ0 = 0.05 WITHOUT ρ
-    # adaptation (measured sweep, benchmarks/rho_sweep.py: ρ0 ∈ [0.02, 0.05]
-    # all reach max 33-45 iters, vs p50 = 60 from the OSQP default ρ = 0.1
-    # with adapt-at-30 — on this class the first adaptation used to *extend*
-    # the tail).  Adaptation stays ON as a safety net but deferred to
-    # iteration 51, past the measured worst case, so no refactor fires on
+    # ρ, Ruiz iteration count, and the termination-check cadence are pure
+    # performance knobs.  Exact-count sweeps (check_termination=1 on CPU —
+    # iteration counts are platform-identical in f32, BASELINE.md): the
+    # honest class converges in ≤29 iterations from ρ0 = 0.04 WITHOUT ρ
+    # adaptation (vs p50 = 60 from the OSQP default ρ = 0.1 with adapt-at-30
+    # — the first adaptation used to *extend* the tail), and 5 Ruiz
+    # iterations equilibrate as well as 10 (max iters unchanged) at half the
+    # kernel cost.  Adaptation stays ON as a safety net but deferred to
+    # iteration 45, past the measured worst case, so no refactor fires on
     # the benchmark class while pathological problems still recover.
     settings = dataclasses.replace(
-        admm.Settings(), rho=0.05, check_termination=17,
-        adaptive_rho_interval=51,
+        admm.Settings(), rho=0.04, check_termination=15,
+        adaptive_rho_interval=45, scaling=5,
     )
 
     # NOTE: synchronization is via a scalar readback (jnp.sum) rather than
