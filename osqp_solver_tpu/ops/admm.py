@@ -86,6 +86,22 @@ class Settings:
     # problem is waypoint-layout/direct/no-refine and fits the VMEM budget;
     # "on" forces it (interpret mode off-TPU — for tests); "off" disables.
     fused_chunk: str = "auto"
+    # Termination reductions fused into the chunk kernel's final backward
+    # pass (emit_term): "auto" = whenever the chunk kernel runs on a
+    # vel-diag-P problem; "off" = always use the separate streaming
+    # termination kernel (A/B bench control and fallback rung).
+    term_fused: str = "auto"
+    # Factor stream form for the fused chunk kernel:
+    #   "gain" — stream the packed upper-triangular gain G = L·C⁻ᵀ in both
+    #            substitution passes (2·Tp rows/waypoint/iteration);
+    #   "hrec" — gain-free: carry h_t = C_tᵀ⁻¹w_t and apply the *sparse*
+    #            (3N-entry) KKT coupling block Ml, rebuilt in-registers from
+    #            the already-streamed stencil coefficients.  Removes the
+    #            gain stream from both passes (−2·Tp of ~870 rows/iter) and
+    #            halves the factor kernel's output traffic.  Algebraically
+    #            identical (G·w = Ml·C⁻ᵀw); needs vel-diag P (falls back to
+    #            "gain" otherwise).
+    factor_form: str = "gain"
 
 
 def refine_steps_for_horizon(waypoints: int, dtype) -> int:

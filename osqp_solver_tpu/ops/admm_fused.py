@@ -273,7 +273,7 @@ def pack_factor(qp, factor):
 
 def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
                  row_off, coef_off, ball_rows, ball_coefs, n_obstacles,
-                 emit_term=False, VCp=None, PNp=None):
+                 emit_term=False, VCp=None, PNp=None, hrec=False):
     """Chunk kernel factory.
 
     ``emit_term=True`` additionally computes EVERY OSQP termination /
@@ -286,7 +286,19 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
     yet when it visits u — they are accumulated as one-step-delayed
     partials: own-row terms at step u, the c1/a0/P-lower cross terms at
     step u−1, reduction at u−1 (u=0 finalized in an epilogue).  Requires
-    the vel-diag P structure (the GOMP objective)."""
+    the vel-diag P structure (the GOMP objective).
+
+    ``hrec=True`` (``Settings.factor_form="hrec"``): gain-free
+    substitutions.  The gain stream (Tp rows in each pass) is replaced by
+    the identity ``G_t·v = Ml_t·(C_tᵀ⁻¹v)`` — ``Ml_t`` is the trajectory
+    QP's *sparse* KKT coupling block (3N nonzeros: ``rd·c1·c2`` q→q,
+    ``rd·c1·c0`` q→v, ``ra·a0·a1 + Pl`` v→v), rebuilt in-registers from the
+    already-streamed stencil coefficients.  The forward pass stores
+    ``h_t = C_tᵀ⁻¹w_t`` (same 2N rows the w scratch held); the backward
+    pass computes ``x̃_t = h_t − C_tᵀ⁻¹C_t⁻¹(Ml_tᵀ x̃_{t+1})``.
+    Algebraically identical to the gain form; needs vel-diag P (for the
+    P-lower term of Ml).  The P-lower pack streams in both passes
+    (PNp ≪ Tp rows)."""
     B2 = 2 * N
     X0, Z0, Y0 = 0, B2, B2 + Rp  # row offsets inside the state tile
     LOW, UP, _ = _tri_maps(B2)
@@ -296,22 +308,46 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
     from .admm import INF_THRESHOLD
 
     def kernel(*refs):
+        refs = list(refs)
+
+        def pop():
+            return refs.pop(0)
+
+        # ---- inputs (order mirrors fused_admm_chunk's `inputs` list) ----
+        chol_hbm = pop()
+        gain_hbm = None if hrec else pop()
+        coef_hbm, q_hbm, lu_hbm, rho_hbm = pop(), pop(), pop(), pop()
+        plf_hbm = pop() if hrec else None
         if emit_term:
-            (chol_hbm, gain_hbm, coef_hbm, q_hbm, lu_hbm, rho_hbm,
-             ee_hbm, varc_hbm, pd_hbm, plf_hbm, done_vmem, state_in,
-             state_hbm, dxdy_hbm, w_hbm, acc_vmem,
-             cbuf, gbuf, fbuf, qbuf, lubuf, rbuf, sbuf, dbuf, obuf, wbuf,
-             wrbuf, eebuf, vcbuf, pdbuf, plbuf,
-             csem, gsem, fsem, qsem, lusem, rsem, ssem, dsem, osem, wsem,
-             wrsem, eesem, vcsem, pdsem, plsem) = refs
-        else:
-            (chol_hbm, gain_hbm, coef_hbm, q_hbm, lu_hbm, rho_hbm,
-             done_vmem, state_in,
-             state_hbm, dxdy_hbm, w_hbm,
-             cbuf, gbuf, fbuf, qbuf, lubuf, rbuf, sbuf, dbuf, obuf, wbuf,
-             wrbuf,
-             csem, gsem, fsem, qsem, lusem, rsem, ssem, dsem, osem, wsem,
-             wrsem) = refs
+            ee_hbm, varc_hbm, pd_hbm = pop(), pop(), pop()
+            if not hrec:
+                plf_hbm = pop()
+        done_vmem, state_in = pop(), pop()
+        # ---- outputs ----
+        state_hbm, dxdy_hbm, w_hbm = pop(), pop(), pop()
+        acc_vmem = pop() if emit_term else None
+        # ---- scratch ----
+        cbuf = pop()
+        gbuf = None if hrec else pop()
+        fbuf, qbuf, lubuf, rbuf = pop(), pop(), pop(), pop()
+        sbuf, dbuf, obuf, wbuf, wrbuf = pop(), pop(), pop(), pop(), pop()
+        plbuf = pop() if hrec else None
+        if emit_term:
+            eebuf, vcbuf, pdbuf = pop(), pop(), pop()
+            if not hrec:
+                plbuf = pop()
+        # ---- semaphores (same order as the buffers they pair with) ----
+        csem = pop()
+        gsem = None if hrec else pop()
+        fsem, qsem, lusem, rsem = pop(), pop(), pop(), pop()
+        ssem, dsem, osem, wsem, wrsem = pop(), pop(), pop(), pop(), pop()
+        plsem = pop() if hrec else None
+        if emit_term:
+            eesem, vcsem, pdsem = pop(), pop(), pop()
+            if not hrec:
+                plsem = pop()
+        assert not refs, len(refs)
+
         del state_in  # same memory as state_hbm; use that ref
         sub0 = pl.program_id(0) * S
         zero = jnp.zeros((S, LANE), cbuf.dtype)
@@ -343,7 +379,10 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
         ident = lambda t: t  # noqa: E731
         fwd_streams = (
             (chol_hbm, cbuf, csem, ident),
-            (gain_hbm, gbuf, gsem, lambda t: jnp.maximum(t - 1, 0)),
+        ) + (
+            ((plf_hbm, plbuf, plsem, ident),) if hrec
+            else ((gain_hbm, gbuf, gsem, lambda t: jnp.maximum(t - 1, 0)),)
+        ) + (
             (coef_hbm, fbuf, fsem, ident),
             (q_hbm, qbuf, qsem, ident),
             (rho_hbm, rbuf, rsem, ident),
@@ -351,13 +390,37 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
         )
         bwd_streams = (
             (chol_hbm, cbuf, csem, ident),
-            (gain_hbm, gbuf, gsem, ident),
+        ) + (
+            ((plf_hbm, plbuf, plsem, ident),) if hrec
+            else ((gain_hbm, gbuf, gsem, ident),)
+        ) + (
             (coef_hbm, fbuf, fsem, ident),
             (lu_hbm, lubuf, lusem, ident),
             (rho_hbm, rbuf, rsem, ident),
             (state_hbm, sbuf, ssem, ident),
             (w_hbm, wrbuf, wrsem, ident),
         )
+
+        def ml_at(s):
+            """Sparse coupling block Ml_t of the waypoint in slot ``s``
+            (3 diagonals of N values; Ml is the KKT block coupling
+            waypoint t's variables to t+1's — same formulas as the factor
+            kernel's M_lower)."""
+            qq, qv, vv = [], [], []
+            for j in range(N):
+                rd = rbuf[s, row_off["dyn"] + j]
+                c0 = fbuf[s, coef_off["c0"] + j]
+                c1 = fbuf[s, coef_off["c1"] + j]
+                c2 = fbuf[s, coef_off["c2"] + j]
+                qq.append(rd * c1 * c2)
+                qv.append(rd * c1 * c0)
+                vv.append(
+                    rbuf[s, row_off["acc"] + j]
+                    * fbuf[s, coef_off["a0"] + j]
+                    * fbuf[s, coef_off["a1"] + j]
+                    + plbuf[s, j]
+                )
+            return tuple(qq), tuple(qv), tuple(vv)
 
         def start(streams, slot, t):
             for hbm, buf, sem, idx in streams:
@@ -460,7 +523,12 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
             start(fwd_streams, 0, 0)
 
             def fwd_body(t, carry):
-                w_prev, vdyn_p, vacc_p, c1_p, a0_p = carry
+                # Non-hrec: ``w_prev`` is w_{t-1}; hrec: it is
+                # h_{t-1} = C_{t-1}ᵀ⁻¹w_{t-1} and ``ml_p`` is Ml_{t-1}.
+                if hrec:
+                    w_prev, vdyn_p, vacc_p, c1_p, a0_p, ml_p = carry
+                else:
+                    w_prev, vdyn_p, vacc_p, c1_p, a0_p = carry
                 s = t % 2
 
                 @pl.when(t + 1 < W)
@@ -506,13 +574,27 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
                     rhs.append(sigma * sbuf[s, X0 + N + j] - qbuf[s, N + j] + g)
 
                 # w_t = C_t⁻¹ (rhs_t − G_{t-1} w_{t-1}); G upper-triangular.
-                b_rows = []
-                for i in range(B2):
-                    acc = zero
-                    for j in range(i, B2):
-                        acc = acc + gbuf[s, UP[(i, j)]] * w_prev[j]
-                    b_rows.append(jnp.where(t > 0, rhs[i] - acc, rhs[i]))
+                # hrec: G_{t-1}w_{t-1} = Ml_{t-1}·h_{t-1}, Ml sparse.
+                if hrec:
+                    qq_p, qv_p, vv_p = ml_p
+                    glw = [None] * B2
+                    for j in range(N):
+                        glw[j] = qq_p[j] * w_prev[j] + qv_p[j] * w_prev[N + j]
+                        glw[N + j] = vv_p[j] * w_prev[N + j]
+                else:
+                    glw = []
+                    for i in range(B2):
+                        acc = zero
+                        for j in range(i, B2):
+                            acc = acc + gbuf[s, UP[(i, j)]] * w_prev[j]
+                        glw.append(acc)
+                b_rows = [
+                    jnp.where(t > 0, rhs[i] - glw[i], rhs[i])
+                    for i in range(B2)
+                ]
                 w = lower_solve(s, b_rows)
+                if hrec:
+                    w = upper_solve(s, w)  # h_t = C_tᵀ⁻¹ w_t
                 for i in range(B2):
                     wbuf[s, i] = w[i]
                 ww = wdma(wbuf, w_hbm, wsem, s, t)
@@ -521,13 +603,16 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
 
                 c1_n = tuple(fbuf[s, coef_off["c1"] + j] for j in range(N))
                 a0_n = tuple(fbuf[s, coef_off["a0"] + j] for j in range(N))
-                return (tuple(w), tuple(vdyn), tuple(vacc), c1_n, a0_n)
+                out = (tuple(w), tuple(vdyn), tuple(vacc), c1_n, a0_n)
+                if hrec:
+                    out = out + (ml_at(s),)
+                return out
 
             zN = tuple(zero for _ in range(N))
-            jax.lax.fori_loop(
-                0, W, fwd_body,
-                (tuple(zero for _ in range(B2)), zN, zN, zN, zN),
-            )
+            carry0 = (tuple(zero for _ in range(B2)), zN, zN, zN, zN)
+            if hrec:
+                carry0 = carry0 + ((zN, zN, zN),)
+            jax.lax.fori_loop(0, W, fwd_body, carry0)
 
         ninf = jnp.full((S, LANE), -jnp.inf, cbuf.dtype)
         pinf = jnp.full((S, LANE), jnp.inf, cbuf.dtype)
@@ -538,8 +623,9 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
                 (ee_hbm, eebuf, eesem, 2),
                 (varc_hbm, vcbuf, vcsem, 3),
                 (pd_hbm, pdbuf, pdsem, 2),
-                (plf_hbm, plbuf, plsem, 2),
             )
+            if not hrec:  # hrec streams plf in every bwd pass already
+                term_streams = term_streams + ((plf_hbm, plbuf, plsem, 2),)
 
         def reduce_var_space(s3x, aty_f, atdy_f, px_f, pdx_f):
             """max-reduce the variable-space quantities of one waypoint
@@ -608,15 +694,33 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
                 s3n = (t + 1) % 3  # varc slot for waypoint t+1 (still live)
 
                 # x̃_t = C_t⁻ᵀ (w_t − G_tᵀ x̃_{t+1}); (Gᵀx)_i = Σ_{j≤i} G[j,i]·x_j.
-                b_rows = []
-                for ii in range(B2):
-                    acc2 = zero
-                    for j in range(ii + 1):
-                        acc2 = acc2 + gbuf[s, UP[(j, ii)]] * xt_next[j]
-                    b_rows.append(
-                        jnp.where(t < W - 1, wrbuf[s, ii] - acc2, wrbuf[s, ii])
-                    )
-                xt = upper_solve(s, b_rows)
+                # hrec: wrbuf holds h_t = C_tᵀ⁻¹w_t and
+                # x̃_t = h_t − C_tᵀ⁻¹C_t⁻¹(Ml_tᵀ x̃_{t+1}).
+                if hrec:
+                    qq_t, qv_t, vv_t = ml_at(s)
+                    u = [None] * B2
+                    for j in range(N):
+                        u[j] = qq_t[j] * xt_next[j]
+                        u[N + j] = (
+                            qv_t[j] * xt_next[j] + vv_t[j] * xt_next[N + j]
+                        )
+                    r = upper_solve(s, lower_solve(s, u))
+                    xt = [
+                        jnp.where(t < W - 1, wrbuf[s, ii] - r[ii], wrbuf[s, ii])
+                        for ii in range(B2)
+                    ]
+                else:
+                    b_rows = []
+                    for ii in range(B2):
+                        acc2 = zero
+                        for j in range(ii + 1):
+                            acc2 = acc2 + gbuf[s, UP[(j, ii)]] * xt_next[j]
+                        b_rows.append(
+                            jnp.where(
+                                t < W - 1, wrbuf[s, ii] - acc2, wrbuf[s, ii]
+                            )
+                        )
+                    xt = upper_solve(s, b_rows)
 
                 x_old = [sbuf[s, X0 + ii] for ii in range(B2)]
                 x_sel = [None] * B2
@@ -839,9 +943,11 @@ def _tile(a, GS):
 
 
 def term_fused_supported(scaled, settings) -> bool:
-    """emit_term needs the vel-diag P structure on top of the chunk gates."""
+    """emit_term needs the vel-diag P structure on top of the chunk gates;
+    ``settings.term_fused="off"`` forces the separate termination kernel."""
     return (
-        fused_chunk_supported(scaled, settings)
+        settings.term_fused != "off"
+        and fused_chunk_supported(scaled, settings)
         and scaled.p_structure == "vel_diag"
     )
 
@@ -898,6 +1004,16 @@ def fused_admm_chunk(
         packed_factor = pack_factor(scaled, factor)
     cholp, gainp = packed_factor
 
+    # Gain-free substitutions: requested via settings, or forced when the
+    # factor was produced without a gain pack.
+    hrec = (
+        settings.factor_form == "hrec"
+        and scaled.p_structure == "vel_diag"
+    ) or gainp is None
+    assert not (hrec and scaled.p_structure != "vel_diag"), (
+        "gain-free (hrec) chunk needs vel-diag P"
+    )
+
     state = state_pack if state_pack is not None else pack_state(scaled, x, z, y)
     q_int = scaled._interleave(scaled.q_vec)  # (W, 2N, B)
     rho3 = rho_vec.reshape(W, Rp, B)
@@ -911,6 +1027,16 @@ def fused_admm_chunk(
         assert scaled.p_structure == "vel_diag", "emit_term needs vel_diag P"
         ee, varc, Pdp, Plf = term_packs
         VCp, PNp = varc.shape[1], Pdp.shape[1]
+    plf = None
+    if hrec:
+        if emit_term:
+            plf = Plf
+        else:
+            from .kkt_factor_pallas import build_p_vel_packs
+
+            plf = build_p_vel_packs(scaled)[1]
+        if PNp is None:
+            PNp = plf.shape[1]
 
     kernel = _make_kernel(
         W=W, N=N, Rp=Rp, CRp=CRp, SRp=SRp, DRp=DRp, S=S,
@@ -919,29 +1045,26 @@ def fused_admm_chunk(
         row_off=row_off, coef_off=coef_off,
         ball_rows=ball_rows, ball_coefs=ball_coefs,
         n_obstacles=scaled.n_obstacles,
-        emit_term=emit_term, VCp=VCp, PNp=PNp,
+        emit_term=emit_term, VCp=VCp, PNp=PNp, hrec=hrec,
     )
 
-    in_specs = [
-        pl.BlockSpec(memory_space=pl.ANY),  # cholp
-        pl.BlockSpec(memory_space=pl.ANY),  # gainp
-        pl.BlockSpec(memory_space=pl.ANY),  # coef
-        pl.BlockSpec(memory_space=pl.ANY),  # q
-        pl.BlockSpec(memory_space=pl.ANY),  # lu
-        pl.BlockSpec(memory_space=pl.ANY),  # rho
-    ]
-    inputs = [
-        _tile(cholp, GS), _tile(gainp, GS), _tile(coef, GS), _tile(q_int, GS),
-        _tile(lu, GS), _tile(rho3, GS),
-    ]
+    ANY = pl.BlockSpec(memory_space=pl.ANY)
+    inputs = [_tile(cholp, GS)]
+    if not hrec:
+        inputs.append(_tile(gainp, GS))
+    inputs += [_tile(coef, GS), _tile(q_int, GS), _tile(lu, GS), _tile(rho3, GS)]
+    if hrec:
+        inputs.append(_tile(plf, GS))
     if emit_term:
-        in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * 4
-        inputs += [_tile(ee, GS), _tile(varc, GS), _tile(Pdp, GS), _tile(Plf, GS)]
+        inputs += [_tile(ee, GS), _tile(varc, GS), _tile(Pdp, GS)]
+        if not hrec:
+            inputs.append(_tile(Plf, GS))
+    in_specs = [ANY] * len(inputs)
     in_specs += [
         pl.BlockSpec(  # done mask, auto-blocked per program
             (S, LANE), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        pl.BlockSpec(memory_space=pl.ANY),  # state (aliased to out 0)
+        ANY,  # state (aliased to out 0)
     ]
     inputs += [done_f, _tile(state, GS)]
     state_in_idx = len(inputs) - 1
@@ -966,9 +1089,10 @@ def fused_admm_chunk(
         )
         out_shape.append(jax.ShapeDtypeStruct((_NACC, GS, LANE), dt))
 
-    scratch = [
-        pltpu.VMEM((2, Tp, S, LANE), dt),  # cbuf (packed chol)
-        pltpu.VMEM((2, Tp, S, LANE), dt),  # gbuf (packed gain)
+    scratch = [pltpu.VMEM((2, Tp, S, LANE), dt)]  # cbuf (packed chol)
+    if not hrec:
+        scratch.append(pltpu.VMEM((2, Tp, S, LANE), dt))  # gbuf (packed gain)
+    scratch += [
         pltpu.VMEM((2, CRp, S, LANE), dt),  # fbuf
         pltpu.VMEM((2, 2 * N, S, LANE), dt),  # qbuf
         pltpu.VMEM((2, 2 * Rp, S, LANE), dt),  # lubuf
@@ -979,14 +1103,17 @@ def fused_admm_chunk(
         pltpu.VMEM((2, 2 * N, S, LANE), dt),  # wbuf (fwd write)
         pltpu.VMEM((2, 2 * N, S, LANE), dt),  # wrbuf (bwd read)
     ]
+    if hrec:
+        scratch.append(pltpu.VMEM((2, PNp, S, LANE), dt))  # plbuf
     if emit_term:
         scratch += [
             pltpu.VMEM((2, 2 * Rp, S, LANE), dt),  # eebuf (E; Einv)
             pltpu.VMEM((3, VCp, S, LANE), dt),  # vcbuf (3-slot: t+1 live)
             pltpu.VMEM((2, PNp, S, LANE), dt),  # pdbuf
-            pltpu.VMEM((2, PNp, S, LANE), dt),  # plbuf
         ]
-    n_sems = 11 + (4 if emit_term else 0)
+        if not hrec:
+            scratch.append(pltpu.VMEM((2, PNp, S, LANE), dt))  # plbuf
+    n_sems = len(scratch)
     scratch += [
         pltpu.SemaphoreType.DMA((3,)) for _ in range(n_sems)
     ]

@@ -583,6 +583,15 @@ def _solve_core(
     use_fused = fused_chunk_supported(scaled, settings)
     use_packed_factor = use_fused and factor_packed_supported(scaled)
     use_term_fused = term_fused_supported(scaled, settings)
+    # Gain-free factor form (Settings.factor_form="hrec"): the packed
+    # factor is (cholp, None) and the chunk kernel rebuilds the sparse
+    # coupling in-registers — needs vel-diag P, silently falls back to the
+    # gain form otherwise.
+    use_hrec = (
+        use_fused
+        and settings.factor_form == "hrec"
+        and scaled.p_structure == "vel_diag"
+    )
 
     if use_fused:
         from .residuals_pallas import (
@@ -631,10 +640,14 @@ def _solve_core(
             # One streaming kernel: assemble+factor+pack, no (W,2N,2N,B)
             # KKT blocks ever materialize (ops/kkt_factor_pallas.py).
             return factor_packed_lane(
-                scaled, rho_vec_arr, settings.sigma, coef=coef_pack
+                scaled, rho_vec_arr, settings.sigma, coef=coef_pack,
+                emit_gain=not use_hrec,
             )
         f = scaled.kkt_factor(rho_vec_arr, settings.sigma)
-        return pack_factor(scaled, f) if use_fused else f
+        if not use_fused:
+            return f
+        pf = pack_factor(scaled, f)
+        return (pf[0], None) if use_hrec else pf
 
     if rb is None:
         rb = jnp.full((base.q.shape[-1],), settings.rho, base.q.dtype)

@@ -66,16 +66,25 @@ def build_p_vel_packs(qp):
 
 
 def _make_kernel(*, W, N, S, sigma, row_off, coef_off, ball_rows, ball_coefs,
-                 n_obstacles):
+                 n_obstacles, emit_gain=True):
     B2 = 2 * N
     LOW, UP, Tp = _tri_maps(B2)
 
-    def kernel(
-        coef_hbm, rho_hbm, pd_hbm, plf_hbm,
-        cholp_hbm, gainp_hbm,
-        fbuf, rbuf, pdb, plb, cob, gob,
-        fsem, rsem, pdsem, plsem, cosem, gosem,
-    ):
+    def kernel(*refs):
+        if emit_gain:
+            (coef_hbm, rho_hbm, pd_hbm, plf_hbm,
+             cholp_hbm, gainp_hbm,
+             fbuf, rbuf, pdb, plb, cob, gob,
+             fsem, rsem, pdsem, plsem, cosem, gosem) = refs
+        else:
+            # hrec factor form: G is still computed (the Schur recursion
+            # needs it) but never written to HBM — the chunk kernel rebuilds
+            # the sparse coupling Ml in-registers instead.
+            (coef_hbm, rho_hbm, pd_hbm, plf_hbm,
+             cholp_hbm,
+             fbuf, rbuf, pdb, plb, cob, gob,
+             fsem, rsem, pdsem, plsem, cosem) = refs
+            gainp_hbm = gosem = None
         sub0 = pl.program_id(0) * S
         zero = jnp.zeros((S, LANE), fbuf.dtype)
 
@@ -232,11 +241,14 @@ def _make_kernel(*, W, N, S, sigma, row_off, coef_off, ball_rows, ball_coefs,
                 cob[s, k] = zero
                 gob[s, k] = zero
             cw = dma_out(cholp_hbm, cob, cosem, s, t)
-            gw = dma_out(gainp_hbm, gob, gosem, s, t)
             cw.start()
-            gw.start()
-            cw.wait()
-            gw.wait()
+            if emit_gain:
+                gw = dma_out(gainp_hbm, gob, gosem, s, t)
+                gw.start()
+                cw.wait()
+                gw.wait()
+            else:
+                cw.wait()
             return tuple(c1sq_n), tuple(a0sq_n)
 
         def dma_out(hbm, buf, sem, slot, t):
@@ -252,7 +264,8 @@ def _make_kernel(*, W, N, S, sigma, row_off, coef_off, ball_rows, ball_coefs,
     return kernel, Tp
 
 
-def factor_packed_lane(scaled, rho_vec, sigma, coef=None, interpret=None):
+def factor_packed_lane(scaled, rho_vec, sigma, coef=None, interpret=None,
+                       emit_gain=True):
     """Packed triangular KKT factor straight from the stencil.
 
     ``scaled``: waypoint-layout vel_diag :class:`LaneTrajectoryQP` (Ruiz
@@ -260,6 +273,10 @@ def factor_packed_lane(scaled, rho_vec, sigma, coef=None, interpret=None):
     (W, Tp, B) — bit-compatible with
     ``admm_fused.pack_factor(qp, qp.kkt_factor(rho_vec, sigma))`` up to f32
     reassociation (parity: tests/test_kkt_factor_pallas.py).
+
+    ``emit_gain=False`` (the ``factor_form="hrec"`` chunk path) skips the
+    gain write entirely — output traffic halves — and returns
+    ``(cholp, None)``.
     """
     from .admm_fused import build_coef_pack
 
@@ -285,23 +302,22 @@ def factor_packed_lane(scaled, rho_vec, sigma, coef=None, interpret=None):
         W=W, N=N, S=S, sigma=float(sigma),
         row_off=row_off, coef_off=coef_off,
         ball_rows=ball_rows, ball_coefs=ball_coefs,
-        n_obstacles=scaled.n_obstacles,
+        n_obstacles=scaled.n_obstacles, emit_gain=emit_gain,
     )
 
     def tile(a):
         return a.reshape(*a.shape[:-1], GS, LANE)
 
-    cholp, gainp = pl.pallas_call(
+    n_out = 2 if emit_gain else 1
+    outs = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+        out_specs=tuple(
+            pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_out)
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((W, Tp, GS, LANE), dt),
-            jax.ShapeDtypeStruct((W, Tp, GS, LANE), dt),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((W, Tp, GS, LANE), dt) for _ in range(n_out)
         ),
         scratch_shapes=[
             pltpu.VMEM((2, CRp, S, LANE), dt),
@@ -310,8 +326,12 @@ def factor_packed_lane(scaled, rho_vec, sigma, coef=None, interpret=None):
             pltpu.VMEM((2, Np, S, LANE), dt),
             pltpu.VMEM((2, Tp, S, LANE), dt),
             pltpu.VMEM((2, Tp, S, LANE), dt),
-        ] + [pltpu.SemaphoreType.DMA((2,))] * 6,
+        ] + [pltpu.SemaphoreType.DMA((2,))] * (4 + n_out),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(tile(coef), tile(rho3), tile(Pd), tile(Pl))
-    return cholp.reshape(W, Tp, B), gainp.reshape(W, Tp, B)
+    if emit_gain:
+        cholp, gainp = outs
+        return cholp.reshape(W, Tp, B), gainp.reshape(W, Tp, B)
+    (cholp,) = outs
+    return cholp.reshape(W, Tp, B), None

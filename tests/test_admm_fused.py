@@ -71,9 +71,12 @@ def build_wp_batch(honest=True, dtype=jnp.float64):
     return lane.replace(row_layout="waypoint")
 
 
+@pytest.mark.parametrize("factor_form", ["gain", "hrec"])
 @pytest.mark.parametrize("honest", [True, False])
-def test_fused_chunk_matches_unfused_iterations(honest):
-    settings = dataclasses.replace(admm.Settings(), check_termination=3)
+def test_fused_chunk_matches_unfused_iterations(honest, factor_form):
+    settings = dataclasses.replace(
+        admm.Settings(), check_termination=3, factor_form=factor_form
+    )
     lane = build_wp_batch(honest=honest)
     scaled, scaling = ruiz_equilibrate_lane(lane, settings.scaling)
     st = init_state_lane(scaled, settings)
@@ -127,9 +130,11 @@ def test_gain_is_upper_triangular():
     assert np.max(np.abs(g[:, tril[0], tril[1], :])) == 0.0
 
 
-def test_fused_solve_end_to_end():
+@pytest.mark.parametrize("factor_form", ["gain", "hrec"])
+def test_fused_solve_end_to_end(factor_form):
     settings = dataclasses.replace(
-        admm.Settings(), check_termination=10, fused_chunk="on"
+        admm.Settings(), check_termination=10, fused_chunk="on",
+        factor_form=factor_form,
     )
     lane = build_wp_batch(honest=True)
     ref = solve_batched_lane(
@@ -146,8 +151,9 @@ def test_fused_solve_end_to_end():
     )
 
 
+@pytest.mark.parametrize("factor_form", ["gain", "hrec"])
 @pytest.mark.parametrize("honest", [True, False])
-def test_emit_term_matches_separate_kernel(honest):
+def test_emit_term_matches_separate_kernel(honest, factor_form):
     """The termination accumulators emitted by the chunk kernel's final
     backward pass must match the standalone streaming termination kernel
     field-for-field (incl. every infeasibility-certificate quantity)."""
@@ -166,7 +172,8 @@ def test_emit_term_matches_separate_kernel(honest):
 
     lane = build_wp_batch(honest=honest)
     settings = dataclasses.replace(
-        admm.Settings(), check_termination=4, fused_chunk="on"
+        admm.Settings(), check_termination=4, fused_chunk="on",
+        factor_form=factor_form,
     )
     assert term_fused_supported(lane, settings)
     scaled, scaling = ruiz_equilibrate_lane(lane, settings.scaling)
@@ -219,7 +226,10 @@ def test_block_p_structure_fused_driver():
 
     lane = build_wp_batch(honest=True).replace(p_structure="block")
     settings = dataclasses.replace(
-        admm.Settings(), check_termination=5, fused_chunk="on"
+        admm.Settings(), check_termination=5, fused_chunk="on",
+        # hrec needs vel-diag P: requesting it here must silently fall
+        # back to the gain form.
+        factor_form="hrec",
     )
     assert not term_fused_supported(lane, settings)
     assert not factor_packed_supported(lane)

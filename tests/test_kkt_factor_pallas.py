@@ -104,3 +104,22 @@ def test_p_vel_packs():
     )
     assert Pl.shape[0] == lane.waypoints
     np.testing.assert_array_equal(np.asarray(Pl[-1]), 0.0)
+
+
+def test_factor_packed_gain_free():
+    """emit_gain=False (the hrec chunk path) must produce the identical
+    cholp and return None for the gain pack."""
+    settings = admm.Settings()
+    lane = _honest_lane_batch()
+    scaled, _ = ruiz_equilibrate_lane(lane, settings.scaling)
+    rho_bar = jnp.full((lane.batch,), settings.rho, scaled.q.dtype)
+    rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
+
+    ref_c, ref_g = factor_packed_lane(
+        scaled, rho_vec, settings.sigma, interpret=True
+    )
+    got_c, got_g = factor_packed_lane(
+        scaled, rho_vec, settings.sigma, interpret=True, emit_gain=False
+    )
+    assert got_g is None and ref_g is not None
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(ref_c))
