@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 import sys
 import time
 
@@ -127,7 +128,6 @@ def main():
 
     # Fail fast if the TPU tunnel is dead: jax.devices() otherwise retries
     # forever (observed when the relay process died mid-round).
-    import os
     import threading
 
     def _watchdog():
@@ -157,10 +157,16 @@ def main():
     # kernel cost.  Adaptation stays ON as a safety net but deferred to
     # iteration 45, past the measured worst case, so no refactor fires on
     # the benchmark class while pathological problems still recover.
+    # OSQP_FACTOR_FORM=hrec / OSQP_TERM_FUSED=off: A/B knobs for the chunk
+    # kernel's factor-stream form and the fused termination reductions.
     settings = dataclasses.replace(
         admm.Settings(), rho=0.04, check_termination=15,
         adaptive_rho_interval=45, scaling=5,
+        factor_form=os.environ.get("OSQP_FACTOR_FORM", "gain"),
+        term_fused=os.environ.get("OSQP_TERM_FUSED", "auto"),
     )
+    log(f"settings: factor_form={settings.factor_form} "
+        f"term_fused={settings.term_fused}")
 
     # NOTE: synchronization is via a scalar readback (jnp.sum) rather than
     # block_until_ready — the latter is unreliable on tunneled platforms.
