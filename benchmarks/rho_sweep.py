@@ -34,7 +34,11 @@ def sync(a):
 
 def main():
     dtype = jnp.float32
-    BATCH, W, N = 1024, 100, 6
+    # BATCH env knob: iteration counts are platform-identical in f32, so
+    # exact-count sweeps (check_termination=1) run fine on CPU at a small
+    # batch while the TPU tunnel is down.
+    BATCH = int(__import__("os").environ.get("BATCH", "1024"))
+    W, N = 100, 6
     lane = build_honest_batch(BATCH, W, N, dtype)
     sync(lane.ws_l)
     log("batch built")
