@@ -92,9 +92,18 @@ def _fresh_factor(scaled, rho_bar, settings: Settings):
 
     rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
     if fused_chunk_supported(scaled, settings):
+        # Gain-free (hrec) form: skip computing/streaming the gain pack at
+        # setup too — mirrors admm_lane._solve_core's use_hrec gate.
+        hrec = (
+            settings.factor_form == "hrec"
+            and scaled.p_structure == "vel_diag"
+        )
         if factor_packed_supported(scaled):
-            return factor_packed_lane(scaled, rho_vec, settings.sigma)
-        return pack_factor(scaled, scaled.kkt_factor(rho_vec, settings.sigma))
+            return factor_packed_lane(
+                scaled, rho_vec, settings.sigma, emit_gain=not hrec
+            )
+        pf = pack_factor(scaled, scaled.kkt_factor(rho_vec, settings.sigma))
+        return (pf[0], None) if hrec else pf
     return scaled.kkt_factor(rho_vec, settings.sigma)
 
 

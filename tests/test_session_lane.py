@@ -105,3 +105,32 @@ def test_session_fused_off_parity():
     np.testing.assert_allclose(
         np.asarray(ra.x), np.asarray(rb.x), rtol=1e-8, atol=1e-8
     )
+
+
+def test_session_hrec_factor_form():
+    """factor_form="hrec" sessions cache a gain-free factor (cholp, None),
+    match the direct batched hrec solve exactly, and stay close to the
+    gain-form session (algebraically identical, f32 reassociation only)."""
+    S_HREC = dataclasses.replace(SETTINGS, factor_form="hrec")
+    lane = build_wp_batch(honest=True)
+
+    sh = setup_lane(lane, S_HREC)
+    assert sh.factor[1] is None  # no gain pack computed at setup
+    sh, rh = solve_lane(sh, S_HREC)
+    ref = solve_batched_lane(lane, S_HREC)
+    np.testing.assert_array_equal(
+        np.asarray(rh.status), np.asarray(ref.status)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rh.x), np.asarray(ref.x), rtol=1e-9, atol=1e-9
+    )
+
+    sg = setup_lane(lane, SETTINGS)
+    assert sg.factor[1] is not None
+    sg, rg = solve_lane(sg, SETTINGS)
+    np.testing.assert_array_equal(
+        np.asarray(rh.status), np.asarray(rg.status)
+    )
+    np.testing.assert_allclose(
+        np.asarray(rh.x), np.asarray(rg.x), rtol=1e-6, atol=1e-6
+    )
