@@ -152,6 +152,33 @@ def test_fused_solve_end_to_end(factor_form):
 
 
 @pytest.mark.parametrize("factor_form", ["gain", "hrec"])
+def test_fused_solve_with_rho_adaptation(factor_form):
+    """A mid-solve ρ adaptation forces a refactorization between chunks —
+    the refactor must regenerate the factor in the form the chunk kernel
+    consumes (packed gain / gain-free) and stay at parity with the unfused
+    driver, which adapts on the identical schedule."""
+    settings = dataclasses.replace(
+        admm.Settings(), check_termination=4, fused_chunk="on",
+        factor_form=factor_form, adaptive_rho=True, adaptive_rho_interval=4,
+        # Start far from the tuned ρ so adaptation actually fires.
+        rho=1.0,
+    )
+    lane = build_wp_batch(honest=True)
+    ref = solve_batched_lane(
+        lane, dataclasses.replace(settings, fused_chunk="off")
+    )
+    got = solve_batched_lane(lane, settings)
+    assert np.all(np.asarray(got.status) == ExitCode.kOptimal)
+    np.testing.assert_array_equal(np.asarray(got.status), np.asarray(ref.status))
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(ref.iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=1e-6, atol=1e-8
+    )
+
+
+@pytest.mark.parametrize("factor_form", ["gain", "hrec"])
 @pytest.mark.parametrize("honest", [True, False])
 def test_emit_term_matches_separate_kernel(honest, factor_form):
     """The termination accumulators emitted by the chunk kernel's final
