@@ -11,10 +11,18 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
+import os
+
 import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+# Re-assert the env-requested platform over the axon sitecustomize's
+# register(): with the plugin registered and the relay dead, jax.devices()
+# hangs even under JAX_PLATFORMS=cpu unless forced post-import (the same
+# trick tests/conftest.py uses).
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import jax.numpy as jnp
 import numpy as np
