@@ -159,14 +159,22 @@ def main():
     # the benchmark class while pathological problems still recover.
     # OSQP_FACTOR_FORM=hrec / OSQP_TERM_FUSED=off: A/B knobs for the chunk
     # kernel's factor-stream form and the fused termination reductions.
+    # OSQP_CT: termination cadence — with emit_term the check itself is
+    # ~free (it rides the chunk's final backward pass), so a small cadence
+    # stops stragglers at ~⌈max_iters/ct⌉·ct instead of overshooting to the
+    # next multiple of 15 (33-iter tails: ct=5 executes 35, ct=15 executes
+    # 45 — ~20% of the solve).
     settings = dataclasses.replace(
-        admm.Settings(), rho=0.04, check_termination=15,
+        admm.Settings(), rho=float(os.environ.get("OSQP_RHO0", "0.04")),
+        check_termination=int(os.environ.get("OSQP_CT", "15")),
         adaptive_rho_interval=45, scaling=5,
+        alpha=float(os.environ.get("OSQP_ALPHA", "1.6")),
         factor_form=os.environ.get("OSQP_FACTOR_FORM", "gain"),
         term_fused=os.environ.get("OSQP_TERM_FUSED", "auto"),
     )
     log(f"settings: factor_form={settings.factor_form} "
-        f"term_fused={settings.term_fused}")
+        f"term_fused={settings.term_fused} ct={settings.check_termination} "
+        f"rho0={settings.rho} alpha={settings.alpha}")
 
     # NOTE: synchronization is via a scalar readback (jnp.sum) rather than
     # block_until_ready — the latter is unreliable on tunneled platforms.
