@@ -164,10 +164,14 @@ def main():
     # stops stragglers at ~⌈max_iters/ct⌉·ct instead of overshooting to the
     # next multiple of 15 (33-iter tails: ct=5 executes 35, ct=15 executes
     # 45 — ~20% of the solve).
+    # scaling=3: exact-count sweeps show 3 Ruiz iterations equilibrate as
+    # well as 5 or 10 on this class (27/29 iters at batch 1024, BASELINE.md
+    # sweep table) at ~60% of the Ruiz kernel cost.
     settings = dataclasses.replace(
         admm.Settings(), rho=float(os.environ.get("OSQP_RHO0", "0.04")),
         check_termination=int(os.environ.get("OSQP_CT", "15")),
-        adaptive_rho_interval=45, scaling=5,
+        adaptive_rho_interval=45,
+        scaling=int(os.environ.get("OSQP_SCALING", "3")),
         alpha=float(os.environ.get("OSQP_ALPHA", "1.6")),
         factor_form=os.environ.get("OSQP_FACTOR_FORM", "gain"),
         term_fused=os.environ.get("OSQP_TERM_FUSED", "auto"),
