@@ -38,9 +38,17 @@ def main():
     ap.add_argument("--rho", type=float, default=None)
     ap.add_argument("--ct", type=int, default=None)
     ap.add_argument("--ari", type=int, default=None)
+    ap.add_argument("--scaling", type=int, default=None)
     args = ap.parse_args()
 
+    import os
+
     import jax
+
+    # Re-assert the env-requested platform over the axon sitecustomize's
+    # register() (jax.devices() otherwise hangs when the relay is dead).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -85,6 +93,8 @@ def main():
         overrides["check_termination"] = args.ct
     if args.ari is not None:
         overrides["adaptive_rho_interval"] = args.ari
+    if args.scaling is not None:
+        overrides["scaling"] = args.scaling
     settings = dataclasses.replace(Settings(), **overrides)
 
     solver = GOMPSolver(
