@@ -367,8 +367,8 @@ def test_rho0_traced_matches_static_rho():
     )
 
 
-@pytest.mark.parametrize("seed", [0, 1])
-def test_randomized_bounds_fused_parity(seed):
+@pytest.mark.parametrize("seed,factor_form", [(0, "gain"), (1, "hrec")])
+def test_randomized_bounds_fused_parity(seed, factor_form):
     """Random per-problem bound perturbations (random tightenings, a few
     rows flipped to equalities or loosened to ±INF) — the fused lane solve
     must agree with the vmapped reference core on status and solution."""
@@ -390,7 +390,8 @@ def test_randomized_bounds_fused_parity(seed):
     qps = qps.replace(vel_l=vel_l, vel_u=vel_u, pos_l=pos_l)
 
     settings = dataclasses.replace(
-        admm.Settings(), check_termination=5, fused_chunk="on"
+        admm.Settings(), check_termination=5, fused_chunk="on",
+        factor_form=factor_form,
     )
     got = solve_batched_lane(to_lane(qps), settings)
     ref = solve_batched(
@@ -403,12 +404,14 @@ def test_randomized_bounds_fused_parity(seed):
     )
 
 
-def test_infeasible_detected_through_fused_emit_path():
+@pytest.mark.parametrize("factor_form", ["gain", "hrec"])
+def test_infeasible_detected_through_fused_emit_path(factor_form):
     """End-to-end: the fused chunk kernel's in-pass certificate reductions
     must drive the same non-optimal statuses as the unfused path."""
     qps = build_batch(honest=True, tight_obstacle=True)
     settings = dataclasses.replace(
-        admm.Settings(), check_termination=5, fused_chunk="on"
+        admm.Settings(), check_termination=5, fused_chunk="on",
+        factor_form=factor_form,
     )
     got = solve_batched_lane(to_lane(qps), settings)
     ref = solve_batched_lane(
