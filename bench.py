@@ -159,17 +159,17 @@ def main():
     # the benchmark class while pathological problems still recover.
     # OSQP_FACTOR_FORM=hrec / OSQP_TERM_FUSED=off: A/B knobs for the chunk
     # kernel's factor-stream form and the fused termination reductions.
-    # OSQP_CT: termination cadence — with emit_term the check itself is
-    # ~free (it rides the chunk's final backward pass), so a small cadence
-    # stops stragglers at ~⌈max_iters/ct⌉·ct instead of overshooting to the
-    # next multiple of 15 (33-iter tails: ct=5 executes 35, ct=15 executes
-    # 45 — ~20% of the solve).
+    # OSQP_CT: termination cadence — ADMM residuals OSCILLATE around the
+    # tolerance, so the cadence sets executed iterations directly
+    # (measured on this class: ct=1→29, ct=3→30, ct=5→35, ct=15→45
+    # executed).  With emit_term the check itself is ~free (it rides the
+    # chunk's final backward pass), so the small cadence wins ~30%.
     # scaling=3: exact-count sweeps show 3 Ruiz iterations equilibrate as
     # well as 5 or 10 on this class (27/29 iters at batch 1024, BASELINE.md
     # sweep table) at ~60% of the Ruiz kernel cost.
     settings = dataclasses.replace(
         admm.Settings(), rho=float(os.environ.get("OSQP_RHO0", "0.04")),
-        check_termination=int(os.environ.get("OSQP_CT", "15")),
+        check_termination=int(os.environ.get("OSQP_CT", "3")),
         adaptive_rho_interval=45,
         scaling=int(os.environ.get("OSQP_SCALING", "3")),
         alpha=float(os.environ.get("OSQP_ALPHA", "1.6")),

@@ -61,6 +61,7 @@ def main():
     alpha = float(os.environ.get("ALPHA", "1.6"))
     scaling = int(os.environ.get("SCALING", "10"))
     sigma = float(os.environ.get("SIGMA", "1e-6"))
+    anderson = int(os.environ.get("ANDERSON", "0"))
     for ct in cts:
         settings = dataclasses.replace(
             admm.Settings(),
@@ -70,6 +71,7 @@ def main():
             alpha=alpha,
             scaling=scaling,
             sigma=sigma,
+            anderson=anderson,
         )
 
         @jax.jit

@@ -148,7 +148,7 @@ def main():
     B3 = 128 if args.quick else 1024
     qps3 = build_honest_batch(B3, 100, 6, dtype)
     settings3 = _dc.replace(
-        settings, rho=0.04, check_termination=15, adaptive_rho_interval=45,
+        settings, rho=0.04, check_termination=3, adaptive_rho_interval=45,
         scaling=3,  # bench.py settings (exact-count sweeps, BASELINE.md)
     )
     f3 = jax.jit(lambda qps: solve_batched_lane(qps, settings3))

@@ -19,9 +19,11 @@ run() {
 run bench python bench.py
 OSQP_FACTOR_FORM=hrec run bench_hrec python bench.py
 OSQP_TERM_FUSED=off run bench_noterm python bench.py
+OSQP_CT=15 run bench_ct15 python bench.py
 OSQP_CT=5 run bench_ct5 python bench.py
+OSQP_CT=2 run bench_ct2 python bench.py
+OSQP_CT=3 OSQP_FACTOR_FORM=hrec run bench_ct3_hrec python bench.py
 OSQP_CT=5 OSQP_FACTOR_FORM=hrec run bench_ct5_hrec python bench.py
-OSQP_CT=11 OSQP_FACTOR_FORM=hrec run bench_ct11_hrec python bench.py
 RHOS=0.05 ADAPTIVE=0 ALPHA=1.7 run alpha17 python benchmarks/rho_sweep.py 17
 RHOS=0.05 ADAPTIVE=0 ALPHA=1.8 run alpha18 python benchmarks/rho_sweep.py 17
 RHOS=0.05 ADAPTIVE=0 SCALING=5 run scaling5 python benchmarks/rho_sweep.py 17

@@ -102,6 +102,21 @@ class Settings:
     #            identical (G·w = Ml·C⁻ᵀw); needs vel-diag P (falls back to
     #            "gain" otherwise).
     factor_form: str = "gain"
+    # Safeguarded Anderson acceleration of the chunk fixed-point map
+    # (lane driver only; SCS 3.0 ships the same scheme in production —
+    # PAPERS.md "Trajectory of ADMM and Adaptive Acceleration").  Between
+    # chunks of ``check_termination`` iterations, the iterate
+    # v = (x, w = z + y/ρ) is extrapolated from the last ``anderson``
+    # chunk outputs by a tiny per-problem constrained least squares;
+    # z/y are recovered consistently (z = Π_[l,u](w), y = ρ(w − z)), so
+    # termination still evaluates TRUE residuals — an accepted solution is
+    # optimal-to-tolerance regardless of how it was reached.  History
+    # resets per problem when the residual grows past
+    # ``anderson_safeguard``× the previous chunk's or when ρ adapts.
+    # 0 disables (the OSQP-parity default).
+    anderson: int = 0
+    anderson_reg: float = 1e-8
+    anderson_safeguard: float = 1.5
 
 
 def refine_steps_for_horizon(waypoints: int, dtype) -> int:

@@ -195,6 +195,12 @@ class LaneADMMState:
     done: jnp.ndarray  # (B,) bool
     prim_res: jnp.ndarray  # (B,)
     dual_res: jnp.ndarray  # (B,)
+    # Anderson-acceleration carry (Settings.anderson > 0; None otherwise).
+    aa_g: Optional[jnp.ndarray] = None  # (mh, d, B) chunk-map outputs
+    aa_f: Optional[jnp.ndarray] = None  # (mh, d, B) chunk-map residuals
+    aa_vin: Optional[jnp.ndarray] = None  # (d, B) current chunk's input v
+    aa_n: Optional[jnp.ndarray] = None  # (B,) history length since reset
+    aa_fnorm: Optional[jnp.ndarray] = None  # (B,) last residual inf-norm
 
 
 def _norm0(v):
@@ -247,6 +253,90 @@ def init_state_lane(
         done=jnp.zeros((B,), bool),
         prim_res=jnp.full((B,), jnp.inf, dtype),
         dual_res=jnp.full((B,), jnp.inf, dtype),
+    )
+
+
+def _anderson_step(scaled, st, settings: Settings, use_fused, reset_mask):
+    """Safeguarded Anderson extrapolation of the chunk fixed-point map.
+
+    One chunk of ``check_termination`` ADMM iterations is a fixed-point map
+    T on v = (x, w = z + y/ρ) — the same map SCS 3.0 accelerates in
+    production (PAPERS.md "Trajectory of ADMM and Adaptive Acceleration").
+    Between chunks the last ``settings.anderson`` outputs g_i = T(v_i) and
+    residuals f_i = g_i − v_i are combined by the type-II constrained
+    least squares  min ‖Σ αᵢ fᵢ‖²  s.t. Σα = 1  (tiny per-problem mh×mh
+    normal equations), and the iterate jumps to v⁺ = Σ αᵢ g_i.  z and y
+    are recovered *consistently* from w (z = Π_[l,u](w), y = ρ(w − z)),
+    so the next chunk's termination check evaluates true KKT residuals —
+    an accepted solution is optimal-to-tolerance regardless of the path.
+
+    Safeguard: a problem whose chunk residual grew past
+    ``anderson_safeguard`` × its previous value — or whose ρ just adapted
+    (``reset_mask``; w changes scale) — has its history reset.  A reset
+    fills every slot with the current pair, which makes the LS degenerate
+    to the plain iterate (any α over duplicates reproduces it).
+    """
+    mh = settings.anderson
+    n = scaled.q.shape[0]
+
+    if use_fused:
+        from .admm_fused import pack_state, unpack_state
+
+        x0, z0, y0 = unpack_state(scaled, st.x)
+    else:
+        x0, z0, y0 = st.x, st.z, st.y
+    w0 = z0 + y0 / st.rho_vec
+    v_out = jnp.concatenate([x0, w0], axis=0)  # (d, B)
+    f = v_out - st.aa_vin
+    fnorm = jnp.max(jnp.abs(f), axis=0)  # (B,)
+
+    grew = fnorm > settings.anderson_safeguard * st.aa_fnorm
+    reset = grew | reset_mask | (st.aa_n == 0)
+
+    kept = jnp.where(reset, 0, st.aa_n)
+    slot = kept % mh
+    smask = ((jnp.arange(mh)[:, None] == slot[None, :]) | reset[None, :])
+    sm = smask[:, None, :]  # (mh, 1, B)
+    aa_g = jnp.where(sm, v_out[None], st.aa_g)
+    aa_f = jnp.where(sm, f[None], st.aa_f)
+
+    # α ∝ M⁻¹1 with M = FᵀF + λ·(tr(M)/mh)·I, normalized to Σα = 1.
+    M = jnp.einsum("idb,jdb->bij", aa_f, aa_f)
+    tr = jnp.trace(M, axis1=1, axis2=2)
+    lam = settings.anderson_reg * tr / mh + 1e-30
+    M = M + lam[:, None, None] * jnp.eye(mh, dtype=M.dtype)
+    a = jnp.linalg.solve(
+        M, jnp.ones((M.shape[0], mh, 1), M.dtype)
+    )[..., 0]
+    s = jnp.sum(a, axis=1, keepdims=True)
+    alpha = a / jnp.where(jnp.abs(s) < 1e-12, 1.0, s)
+    v_acc = jnp.einsum("bi,idb->db", alpha, aa_g)
+    bad = (
+        ~jnp.isfinite(jnp.max(jnp.abs(v_acc), axis=0))
+        | (jnp.abs(s[:, 0]) < 1e-12)
+    )
+    skip = (st.done | bad)[None, :]
+    v_new = jnp.where(skip, v_out, v_acc)
+
+    xn = v_new[:n]
+    w = v_new[n:]
+    zn = jnp.clip(w, scaled.l, scaled.u)
+    yn = st.rho_vec * (w - zn)
+    frozen = st.done[None, :]
+    xn = jnp.where(frozen, x0, xn)
+    zn = jnp.where(frozen, z0, zn)
+    yn = jnp.where(frozen, y0, yn)
+    if use_fused:
+        st = st.replace(x=pack_state(scaled, xn, zn, yn))
+    else:
+        st = st.replace(x=xn, z=zn, y=yn)
+    v_in_next = jnp.concatenate([xn, zn + yn / st.rho_vec], axis=0)
+    return st.replace(
+        aa_g=aa_g,
+        aa_f=aa_f,
+        aa_vin=v_in_next,
+        aa_n=jnp.where(st.done, st.aa_n, kept + 1),
+        aa_fnorm=jnp.where(st.done, st.aa_fnorm, fnorm),
     )
 
 
@@ -662,6 +752,20 @@ def _solve_core(
     def cond(st):
         return jnp.any((~st.done) & (st.iterations < settings.max_iter))
 
+    if settings.anderson > 0:
+        # Anderson-acceleration carry: ring history of chunk-map outputs /
+        # residuals on v = (x, w = z + y/ρ), the current chunk's input, and
+        # the safeguard norm (see _anderson_step).
+        v0 = jnp.concatenate([st.x, st.z + st.y / st.rho_vec], axis=0)
+        B_ = v0.shape[-1]
+        st = st.replace(
+            aa_g=jnp.zeros((settings.anderson,) + v0.shape, v0.dtype),
+            aa_f=jnp.zeros((settings.anderson,) + v0.shape, v0.dtype),
+            aa_vin=v0,
+            aa_n=jnp.zeros((B_,), jnp.int32),
+            aa_fnorm=jnp.full((B_,), jnp.inf, v0.dtype),
+        )
+
     if use_fused:
         # The state crosses chunks PACKED (x holds the (W, SRp, B) pack;
         # z/y/dx/dy drop out of the carry) — pack once here, unpack once
@@ -730,6 +834,7 @@ def _solve_core(
             ).replace(factor=factor)
             st = st.replace(factor=factor)
             st, norms = _termination(base, scaled, scaling, st, settings)
+        aa_reset = jnp.zeros_like(st.done)
         if settings.adaptive_rho:
             interval = max(
                 settings.adaptive_rho_interval, settings.check_termination
@@ -748,6 +853,9 @@ def _solve_core(
                 )
 
             st = jax.lax.cond(jnp.any(adapt), do_adapt, lambda s: s, st)
+            aa_reset = adapt  # w = z + y/ρ changes scale under the new ρ
+        if settings.anderson > 0:
+            st = _anderson_step(scaled, st, settings, use_fused, aa_reset)
         return st
 
     st = jax.lax.while_loop(cond, chunk, st)

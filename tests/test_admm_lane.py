@@ -422,3 +422,44 @@ def test_infeasible_detected_through_fused_emit_path(factor_form):
         np.asarray(got.iterations), np.asarray(ref.iterations)
     )
     assert np.all(np.asarray(ref.status) != ExitCode.kOptimal)
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_anderson_accelerated_solve_is_valid(fused):
+    """Safeguarded Anderson acceleration (Settings.anderson > 0) must reach
+    kOptimal through the same residual-based termination — an accepted
+    solution is optimal-to-tolerance by construction — and stay close to
+    the plain solve.  Covers the flat and the fused (packed-state) chunk
+    paths, including consistent z/y recovery from the extrapolated w."""
+    qps = build_batch(honest=True)
+    base = dataclasses.replace(
+        admm.Settings(), check_termination=3,
+        fused_chunk="on" if fused else "off",
+    )
+    plain = solve_batched_lane(to_lane(qps), base)
+    acc = solve_batched_lane(
+        to_lane(qps), dataclasses.replace(base, anderson=4)
+    )
+    assert np.all(np.asarray(plain.status) == ExitCode.kOptimal)
+    assert np.all(np.asarray(acc.status) == ExitCode.kOptimal)
+    # Both satisfy the same KKT tolerances; they agree to tolerance scale.
+    np.testing.assert_allclose(
+        np.asarray(acc.x), np.asarray(plain.x), atol=5e-3, rtol=0
+    )
+    # The safeguard bounds any slowdown from rejected extrapolations.
+    assert int(np.max(np.asarray(acc.iterations))) <= (
+        int(np.max(np.asarray(plain.iterations))) + 6 * base.check_termination
+    )
+
+
+def test_anderson_with_rho_adaptation_resets():
+    """ρ adaptation re-scales w = z + y/ρ — AA history must reset for the
+    adapted problems (mixing incompatible scales in the extrapolation
+    would diverge).  Start far from the tuned ρ so adaptation fires."""
+    qps = build_batch(honest=True)
+    s = dataclasses.replace(
+        admm.Settings(), check_termination=3, adaptive_rho=True,
+        adaptive_rho_interval=6, rho=10.0, anderson=4,
+    )
+    res = solve_batched_lane(to_lane(qps), s)
+    assert np.all(np.asarray(res.status) == ExitCode.kOptimal)
