@@ -31,12 +31,19 @@ def main():
     ap.add_argument("--waypoints", type=int, default=802)
     ap.add_argument("--ct", type=int, default=13)
     ap.add_argument("--rho", type=float, default=0.05)
+    ap.add_argument("--scaling", type=int, default=None)
     args = ap.parse_args()
+
+    import os
 
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    # Re-assert the env-requested platform over the axon sitecustomize's
+    # register() (jax.devices() otherwise hangs when the relay is dead).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from bench import build_honest_batch
@@ -51,6 +58,7 @@ def main():
     settings = dataclasses.replace(
         admm.Settings(), rho=args.rho, check_termination=args.ct,
         adaptive_rho_interval=3 * args.ct,
+        **({"scaling": args.scaling} if args.scaling is not None else {}),
     )
     t0 = time.time()
     lane = build_honest_batch(B, W, N, dtype)
