@@ -29,6 +29,7 @@ RHOS=0.05 ADAPTIVE=0 ALPHA=1.8 run alpha18 python benchmarks/rho_sweep.py 17
 RHOS=0.05 ADAPTIVE=0 SCALING=5 run scaling5 python benchmarks/rho_sweep.py 17
 RHOS=0.05 ADAPTIVE=0 run ct34 python benchmarks/rho_sweep.py 34
 run mpc_fleet python benchmarks/mpc_fleet.py
+run mpc_fleet_ct2 python benchmarks/mpc_fleet.py --ct 2
 run planner python benchmarks/planner_batch.py --batch 1024 --skip-vmap --rho 0.05 --ct 13 --ari 39
 run planner_tuned python benchmarks/planner_batch.py --batch 1024 --skip-vmap --rho 0.04 --ct 3 --ari 45 --scaling 3
 run w802 python benchmarks/w802_lane.py --batch 128
