@@ -149,7 +149,7 @@ def main():
     qps3 = build_honest_batch(B3, 100, 6, dtype)
     settings3 = _dc.replace(
         settings, rho=0.04, check_termination=3, adaptive_rho_interval=45,
-        scaling=3,  # bench.py settings (exact-count sweeps, BASELINE.md)
+        scaling=3, termination_warmup=21,  # bench.py settings (BASELINE.md)
     )
     f3 = jax.jit(lambda qps: solve_batched_lane(qps, settings3))
     r = f3(qps3)

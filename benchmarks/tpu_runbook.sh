@@ -19,6 +19,7 @@ run() {
 run bench python bench.py
 OSQP_FACTOR_FORM=hrec run bench_hrec python bench.py
 OSQP_TERM_FUSED=off run bench_noterm python bench.py
+OSQP_WARMUP=0 run bench_nowarmup python bench.py
 OSQP_CT=15 run bench_ct15 python bench.py
 OSQP_CT=5 run bench_ct5 python bench.py
 OSQP_CT=2 run bench_ct2 python bench.py

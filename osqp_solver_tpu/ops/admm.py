@@ -117,6 +117,15 @@ class Settings:
     anderson: int = 0
     anderson_reg: float = 1e-8
     anderson_safeguard: float = 1.5
+    # Run the first this-many iterations as ONE unchecked chunk before the
+    # ``check_termination`` cadence starts (lane driver).  Cold solves of a
+    # known class never converge before a known floor (the honest GOMP
+    # class needs ≥22), so a warmup chunk skips the early checks' fixed
+    # costs (chunk dispatch, fused-termination tail, decide/cond) while
+    # executed-iteration counts stay those of the cadence.  0 disables;
+    # keep 0 for warm-started sessions (re-solves converge in a few
+    # iterations).
+    termination_warmup: int = 0
 
 
 def refine_steps_for_horizon(waypoints: int, dtype) -> int:

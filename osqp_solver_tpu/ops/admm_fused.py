@@ -955,9 +955,10 @@ def term_fused_supported(scaled, settings) -> bool:
 def fused_admm_chunk(
     scaled, factor, x, z, y, rho_vec, done, settings,
     coef=None, lu=None, packed_factor=None, interpret=None,
-    return_packed=False, state_pack=None, term_packs=None,
+    return_packed=False, state_pack=None, term_packs=None, n_iter=None,
 ):
-    """Run ``settings.check_termination`` ADMM iterations fused.
+    """Run ``n_iter`` (default ``settings.check_termination``) ADMM
+    iterations fused.
 
     ``scaled``: waypoint-layout :class:`LaneTrajectoryQP` (Ruiz-scaled);
     ``factor``: its block-Cholesky ``LaneFactor`` (ignored when
@@ -1040,7 +1041,7 @@ def fused_admm_chunk(
 
     kernel = _make_kernel(
         W=W, N=N, Rp=Rp, CRp=CRp, SRp=SRp, DRp=DRp, S=S,
-        n_iter=settings.check_termination,
+        n_iter=int(n_iter) if n_iter is not None else settings.check_termination,
         sigma=float(settings.sigma), alpha=float(settings.alpha),
         row_off=row_off, coef_off=coef_off,
         ball_rows=ball_rows, ball_coefs=ball_coefs,

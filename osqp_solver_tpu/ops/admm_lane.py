@@ -752,20 +752,6 @@ def _solve_core(
     def cond(st):
         return jnp.any((~st.done) & (st.iterations < settings.max_iter))
 
-    if settings.anderson > 0:
-        # Anderson-acceleration carry: ring history of chunk-map outputs /
-        # residuals on v = (x, w = z + y/ρ), the current chunk's input, and
-        # the safeguard norm (see _anderson_step).
-        v0 = jnp.concatenate([st.x, st.z + st.y / st.rho_vec], axis=0)
-        B_ = v0.shape[-1]
-        st = st.replace(
-            aa_g=jnp.zeros((settings.anderson,) + v0.shape, v0.dtype),
-            aa_f=jnp.zeros((settings.anderson,) + v0.shape, v0.dtype),
-            aa_vin=v0,
-            aa_n=jnp.zeros((B_,), jnp.int32),
-            aa_fnorm=jnp.full((B_,), jnp.inf, v0.dtype),
-        )
-
     if use_fused:
         # The state crosses chunks PACKED (x holds the (W, SRp, B) pack;
         # z/y/dx/dy drop out of the carry) — pack once here, unpack once
@@ -773,6 +759,53 @@ def _solve_core(
         st = st.replace(
             x=pack_state(scaled, st.x, st.z, st.y),
             z=None, y=None, dx=None, dy=None,
+        )
+
+    warmup = min(settings.termination_warmup, settings.max_iter)
+    if warmup > 0:
+        # One big unchecked chunk before the cadence starts: cold solves of
+        # a known class never converge before a known floor, so the early
+        # checks' fixed costs (dispatch, fused-termination tail,
+        # decide/cond) are skipped.  Warm-started sessions should keep
+        # termination_warmup=0.
+        if use_fused:
+            sp, _ = fused_admm_chunk(
+                scaled, None, None, None, None, st.rho_vec, st.done,
+                settings, coef=coef_pack, lu=lu_pack,
+                packed_factor=st.factor, state_pack=st.x, n_iter=warmup,
+            )
+            st = st.replace(
+                x=sp, iterations=st.iterations + jnp.int32(warmup)
+            )
+        else:
+            # _iteration counts its own iterations.
+            factor0 = st.factor
+            st = jax.lax.fori_loop(
+                0,
+                warmup,
+                lambda i, s: _iteration(
+                    scaled, s.replace(factor=None), factor0, settings
+                ),
+                st.replace(factor=None),
+                unroll=settings.inner_unroll,
+            ).replace(factor=factor0)
+
+    if settings.anderson > 0:
+        # Anderson-acceleration carry: ring history of chunk-map outputs /
+        # residuals on v = (x, w = z + y/ρ), the current chunk's input, and
+        # the safeguard norm (see _anderson_step).
+        if use_fused:
+            x0_, z0_, y0_ = unpack_state(scaled, st.x)
+        else:
+            x0_, z0_, y0_ = st.x, st.z, st.y
+        v0 = jnp.concatenate([x0_, z0_ + y0_ / st.rho_vec], axis=0)
+        B_ = v0.shape[-1]
+        st = st.replace(
+            aa_g=jnp.zeros((settings.anderson,) + v0.shape, v0.dtype),
+            aa_f=jnp.zeros((settings.anderson,) + v0.shape, v0.dtype),
+            aa_vin=v0,
+            aa_n=jnp.zeros((B_,), jnp.int32),
+            aa_fnorm=jnp.full((B_,), jnp.inf, v0.dtype),
         )
 
     if use_term_fused:

@@ -131,10 +131,11 @@ def test_gain_is_upper_triangular():
 
 
 @pytest.mark.parametrize("factor_form", ["gain", "hrec"])
-def test_fused_solve_end_to_end(factor_form):
+@pytest.mark.parametrize("warmup", [0, 6])
+def test_fused_solve_end_to_end(factor_form, warmup):
     settings = dataclasses.replace(
         admm.Settings(), check_termination=10, fused_chunk="on",
-        factor_form=factor_form,
+        factor_form=factor_form, termination_warmup=warmup,
     )
     lane = build_wp_batch(honest=True)
     ref = solve_batched_lane(
