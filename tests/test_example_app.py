@@ -68,3 +68,27 @@ def test_data_format_byte_parity_with_cpp(tmp_path):
         check=True, capture_output=True, text=True,
     ).stdout
     assert got == want
+
+
+def test_mpc_fleet_example_runs_small(tmp_path):
+    """The fleet-MPC example (warm-started batched sessions) stays green."""
+    import os
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PYTHONPATH=str(repo))
+    out = subprocess.run(
+        [
+            sys.executable,
+            str(repo / "examples" / "mpc_fleet_example.py"),
+            # W must leave room for the pi-rotation under the velocity /
+            # acceleration boxes (W=12 is infeasible for this class).
+            "--batch", "4", "--ticks", "3", "--waypoints", "20",
+        ],
+        cwd=tmp_path,
+        capture_output=True,
+        text=True,
+        timeout=400,
+        env=env,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "12/12 optimal" in out.stdout
