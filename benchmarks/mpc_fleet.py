@@ -32,10 +32,16 @@ def main():
     ap.add_argument("--ct", type=int, default=5)
     args = ap.parse_args()
 
+    import os
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    # Re-assert the env-requested platform over the axon sitecustomize's
+    # register() (jax.devices() otherwise hangs when the relay is dead).
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from bench import build_honest_batch
