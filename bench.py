@@ -164,16 +164,19 @@ def main():
     # (measured on this class: ct=1→29, ct=3→30, ct=5→35, ct=15→45
     # executed).  With emit_term the check itself is ~free (it rides the
     # chunk's final backward pass), so the small cadence wins ~30%.
+    # Round-2 TPU sweep under hrec (ms/batch at 1024): ct=1→14.2,
+    # ct=2→11.8, ct=3→13.1, ct=5→13.1 — ct=2 balances per-chunk fixed
+    # cost against oscillation-driven extra iterations; default 2.
     # scaling=3: exact-count sweeps show 3 Ruiz iterations equilibrate as
     # well as 5 or 10 on this class (27/29 iters at batch 1024, BASELINE.md
     # sweep table) at ~60% of the Ruiz kernel cost.
     settings = dataclasses.replace(
         admm.Settings(), rho=float(os.environ.get("OSQP_RHO0", "0.04")),
-        check_termination=int(os.environ.get("OSQP_CT", "3")),
+        check_termination=int(os.environ.get("OSQP_CT", "2")),
         adaptive_rho_interval=45,
         scaling=int(os.environ.get("OSQP_SCALING", "3")),
         alpha=float(os.environ.get("OSQP_ALPHA", "1.6")),
-        factor_form=os.environ.get("OSQP_FACTOR_FORM", "gain"),
+        factor_form=os.environ.get("OSQP_FACTOR_FORM", "hrec"),
         term_fused=os.environ.get("OSQP_TERM_FUSED", "auto"),
         # Cold solves of this class never finish before iteration 22
         # (exact-count sweeps), and the ct=3 cadence first checks at 21/24

@@ -101,7 +101,10 @@ class Settings:
     #            halves the factor kernel's output traffic.  Algebraically
     #            identical (G·w = Ml·C⁻ᵀw); needs vel-diag P (falls back to
     #            "gain" otherwise).
-    factor_form: str = "gain"
+    # Default "hrec" after the round-2 TPU A/B: 13.1 vs 14.8 ms per
+    # 1024-problem honest batch (78.3k vs 69.3k QPs/s), identical iteration
+    # counts and statuses; parity pinned by tests/test_admm_fused.py.
+    factor_form: str = "hrec"
     # Safeguarded Anderson acceleration of the chunk fixed-point map
     # (lane driver only; SCS 3.0 ships the same scheme in production —
     # PAPERS.md "Trajectory of ADMM and Adaptive Acceleration").  Between
