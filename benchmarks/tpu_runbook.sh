@@ -16,15 +16,15 @@ run() {
   cat "$OUT/$name.json"
 }
 
+# Defaults are the shipped winners (hrec factor form, ct=2, emit_term,
+# warmup 21, 3 Ruiz iterations); the variants below are the A/B controls.
 run bench python bench.py
-OSQP_FACTOR_FORM=hrec run bench_hrec python bench.py
+OSQP_FACTOR_FORM=gain run bench_gain python bench.py
 OSQP_TERM_FUSED=off run bench_noterm python bench.py
 OSQP_WARMUP=0 run bench_nowarmup python bench.py
-OSQP_CT=15 run bench_ct15 python bench.py
+OSQP_CT=1 run bench_ct1 python bench.py
+OSQP_CT=3 run bench_ct3 python bench.py
 OSQP_CT=5 run bench_ct5 python bench.py
-OSQP_CT=2 run bench_ct2 python bench.py
-OSQP_CT=3 OSQP_FACTOR_FORM=hrec run bench_ct3_hrec python bench.py
-OSQP_CT=5 OSQP_FACTOR_FORM=hrec run bench_ct5_hrec python bench.py
 RHOS=0.05 ADAPTIVE=0 ALPHA=1.7 run alpha17 python benchmarks/rho_sweep.py 17
 RHOS=0.05 ADAPTIVE=0 ALPHA=1.8 run alpha18 python benchmarks/rho_sweep.py 17
 RHOS=0.05 ADAPTIVE=0 SCALING=5 run scaling5 python benchmarks/rho_sweep.py 17
