@@ -37,6 +37,8 @@ enum Status {
   kPrimalInfeasible = 1,
   kDualInfeasible = 2,
   kOptimalInaccurate = 3,
+  kPrimalInfeasibleInaccurate = 4,
+  kDualInfeasibleInaccurate = 5,
   kMaxIterations = 6,
   kNonConvex = 9,
   kUnknown = 10,
@@ -141,6 +143,54 @@ int osqp_oracle_solve(int n, int m, const double* P, const double* q,
   int status = kUnknown;
   double prim_res = 1e30, dual_res = 1e30;
 
+  // Infeasibility certificates (evaluated strict in-loop; the same
+  // predicates run 10x-relaxed at max_iter -> k*InfeasibleInaccurate,
+  // matching OSQP termination.c approximate mode).
+  auto prim_inf_at = [&](double eps) -> bool {
+    double ndy = inf_norm(dy.data(), m);
+    if (ndy <= eps) return false;
+    double nAtdy = 0, support = 0;
+    bool dir_ok = true;
+    for (int i = 0; i < n; ++i) {
+      double s = 0.0;
+      for (int r = 0; r < m; ++r) s += A[r * n + i] * dy[r];
+      nAtdy = std::max(nAtdy, std::fabs(s));
+    }
+    for (int r = 0; r < m; ++r) {
+      double dp = std::max(dy[r], 0.0), dn = std::min(dy[r], 0.0);
+      if (u[r] >= kInfThresh) {
+        if (dp > eps * ndy) dir_ok = false;
+      } else {
+        support += u[r] * dp;
+      }
+      if (l[r] <= -kInfThresh) {
+        if (-dn > eps * ndy) dir_ok = false;
+      } else {
+        support += l[r] * dn;
+      }
+    }
+    return dir_ok && nAtdy <= eps * ndy && support <= -eps * ndy;
+  };
+  auto dual_inf_at = [&](double eps) -> bool {
+    double ndx = inf_norm(dx.data(), n);
+    if (ndx <= eps) return false;
+    double nPdx = 0, qdx = 0;
+    bool cone_ok = true;
+    for (int i = 0; i < n; ++i) {
+      double s = 0.0;
+      for (int j = 0; j < n; ++j) s += P[i * n + j] * dx[j];
+      nPdx = std::max(nPdx, std::fabs(s));
+      qdx += q[i] * dx[i];
+    }
+    for (int r = 0; r < m && cone_ok; ++r) {
+      double s = 0.0;
+      for (int j = 0; j < n; ++j) s += A[r * n + j] * dx[j];
+      if (u[r] < kInfThresh && s > eps * ndx) cone_ok = false;
+      if (l[r] > -kInfThresh && s < -eps * ndx) cone_ok = false;
+    }
+    return cone_ok && nPdx <= eps * ndx && qdx <= -eps * ndx;
+  };
+
   while (iter < max_iter) {
     for (int step = 0; step < check_every && iter < max_iter; ++step, ++iter) {
       // rhs = sigma*x - q + A'(rho.*z - y)
@@ -202,55 +252,13 @@ int osqp_oracle_solve(int n, int m, const double* P, const double* q,
       break;
     }
 
-    // Infeasibility certificates.
-    double ndy = inf_norm(dy.data(), m);
-    if (ndy > eps_prim_inf) {
-      double nAtdy = 0, support = 0;
-      bool dir_ok = true;
-      for (int i = 0; i < n; ++i) {
-        double s = 0.0;
-        for (int r = 0; r < m; ++r) s += A[r * n + i] * dy[r];
-        nAtdy = std::max(nAtdy, std::fabs(s));
-      }
-      for (int r = 0; r < m; ++r) {
-        double dp = std::max(dy[r], 0.0), dn = std::min(dy[r], 0.0);
-        if (u[r] >= kInfThresh) {
-          if (dp > eps_prim_inf * ndy) dir_ok = false;
-        } else {
-          support += u[r] * dp;
-        }
-        if (l[r] <= -kInfThresh) {
-          if (-dn > eps_prim_inf * ndy) dir_ok = false;
-        } else {
-          support += l[r] * dn;
-        }
-      }
-      if (dir_ok && nAtdy <= eps_prim_inf * ndy &&
-          support <= -eps_prim_inf * ndy) {
-        status = kPrimalInfeasible;
-        break;
-      }
+    if (prim_inf_at(eps_prim_inf)) {
+      status = kPrimalInfeasible;
+      break;
     }
-    double ndx = inf_norm(dx.data(), n);
-    if (ndx > eps_dual_inf) {
-      double nPdx = 0, qdx = 0;
-      bool cone_ok = true;
-      for (int i = 0; i < n; ++i) {
-        double s = 0.0;
-        for (int j = 0; j < n; ++j) s += P[i * n + j] * dx[j];
-        nPdx = std::max(nPdx, std::fabs(s));
-        qdx += q[i] * dx[i];
-      }
-      for (int r = 0; r < m && cone_ok; ++r) {
-        double s = 0.0;
-        for (int j = 0; j < n; ++j) s += A[r * n + j] * dx[j];
-        if (u[r] < kInfThresh && s > eps_dual_inf * ndx) cone_ok = false;
-        if (l[r] > -kInfThresh && s < -eps_dual_inf * ndx) cone_ok = false;
-      }
-      if (cone_ok && nPdx <= eps_dual_inf * ndx && qdx <= -eps_dual_inf * ndx) {
-        status = kDualInfeasible;
-        break;
-      }
+    if (dual_inf_at(eps_dual_inf)) {
+      status = kDualInfeasible;
+      break;
     }
 
     // Adaptive rho (interval = every termination check here).
@@ -286,6 +294,10 @@ int osqp_oracle_solve(int n, int m, const double* P, const double* q,
         10 * (eps_abs + eps_rel * std::max(std::max(nPx, nATy), nq));
     if (prim_res <= eps_p10 && dual_res <= eps_d10)
       status = kOptimalInaccurate;
+    else if (prim_inf_at(10 * eps_prim_inf))
+      status = kPrimalInfeasibleInaccurate;
+    else if (dual_inf_at(10 * eps_dual_inf))
+      status = kDualInfeasibleInaccurate;
   }
 
   std::memcpy(x_out, x.data(), n * sizeof(double));
@@ -456,6 +468,45 @@ int osqp_oracle_solve_sparse(
   int status = kUnknown;
   double prim_res = 1e30, dual_res = 1e30;
 
+  // Same certificates as the dense path, via CSR matvecs (strict in-loop,
+  // 10x-relaxed at max_iter -> k*InfeasibleInaccurate).
+  std::vector<double> cert_n(n), cert_m(m);
+  auto prim_inf_at = [&](double eps) -> bool {
+    double ndy = inf_norm(dy.data(), m);
+    if (ndy <= eps) return false;
+    csr_matvec_T(A, dy.data(), cert_n.data(), n);
+    double nAtdy = inf_norm(cert_n.data(), n), support = 0;
+    bool dir_ok = true;
+    for (int r = 0; r < m; ++r) {
+      double dp = std::max(dy[r], 0.0), dn = std::min(dy[r], 0.0);
+      if (u[r] >= kInfThresh) {
+        if (dp > eps * ndy) dir_ok = false;
+      } else {
+        support += u[r] * dp;
+      }
+      if (l[r] <= -kInfThresh) {
+        if (-dn > eps * ndy) dir_ok = false;
+      } else {
+        support += l[r] * dn;
+      }
+    }
+    return dir_ok && nAtdy <= eps * ndy && support <= -eps * ndy;
+  };
+  auto dual_inf_at = [&](double eps) -> bool {
+    double ndx = inf_norm(dx.data(), n);
+    if (ndx <= eps) return false;
+    csr_matvec(P, dx.data(), cert_n.data());
+    double nPdx = inf_norm(cert_n.data(), n), qdx = 0;
+    for (int i = 0; i < n; ++i) qdx += q[i] * dx[i];
+    csr_matvec(A, dx.data(), cert_m.data());
+    bool cone_ok = true;
+    for (int r = 0; r < m && cone_ok; ++r) {
+      if (u[r] < kInfThresh && cert_m[r] > eps * ndx) cone_ok = false;
+      if (l[r] > -kInfThresh && cert_m[r] < -eps * ndx) cone_ok = false;
+    }
+    return cone_ok && nPdx <= eps * ndx && qdx <= -eps * ndx;
+  };
+
   while (iter < max_iter) {
     for (int step = 0; step < check_every && iter < max_iter; ++step, ++iter) {
       for (int r = 0; r < m; ++r) tmp_m[r] = rho[r] * z[r] - y[r];
@@ -502,6 +553,15 @@ int osqp_oracle_solve_sparse(
       break;
     }
 
+    if (prim_inf_at(eps_prim_inf)) {
+      status = kPrimalInfeasible;
+      break;
+    }
+    if (dual_inf_at(eps_dual_inf)) {
+      status = kDualInfeasible;
+      break;
+    }
+
     if (adaptive_rho) {
       double pr = prim_res / std::max(std::max(nAx, nz), kDivTol);
       double dr =
@@ -527,6 +587,10 @@ int osqp_oracle_solve_sparse(
         10 * (eps_abs + eps_rel * std::max(std::max(nPx, nATy), nq));
     if (prim_res <= eps_p10 && dual_res <= eps_d10)
       status = kOptimalInaccurate;
+    else if (prim_inf_at(10 * eps_prim_inf))
+      status = kPrimalInfeasibleInaccurate;
+    else if (dual_inf_at(10 * eps_dual_inf))
+      status = kDualInfeasibleInaccurate;
   }
 
   std::memcpy(x_out, x.data(), n * sizeof(double));

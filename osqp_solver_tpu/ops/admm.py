@@ -223,6 +223,13 @@ def _g_inf_norm(qp, v):
     return jax.lax.pmax(r, ax) if ax else r
 
 
+def _g_max(qp, v):
+    """Global max of a (possibly signed) vector — no abs, for cone checks."""
+    r = jnp.max(v)
+    ax = _qp_axis(qp)
+    return jax.lax.pmax(r, ax) if ax else r
+
+
 def _g_sum(qp, v):
     s = jnp.sum(v) if v.shape[-1] else jnp.zeros(())
     ax = _qp_axis(qp)
@@ -341,9 +348,12 @@ def _termination(base, scaled, scaling: Scaling, st: ADMMState, settings: Settin
     loose_l = base.l <= -INF_THRESHOLD
 
     # Primal infeasibility: Aᵀδy ≈ 0 and the support function of [l,u] at δy
-    # is negative (OSQP §3.4 with eps_prim_inf tolerances).
-    eps_p = settings.eps_prim_inf * norm_dy
-    At_dy = base.AT_matvec(dy_u)
+    # is negative (OSQP §3.4 with eps_prim_inf tolerances).  The reductions
+    # are computed once; the decision is evaluated at the strict tolerance
+    # every check and at the 10×-relaxed tolerance at max_iter (OSQP
+    # termination.c "approximate" mode → k*InfeasibleInaccurate statuses,
+    # the enum surface the reference consumes at utils.h:11).
+    At_dy_max = _g_inf_norm(base, base.AT_matvec(dy_u))
     dy_pos = jnp.maximum(dy_u, 0.0)
     dy_neg = jnp.minimum(dy_u, 0.0)
     support = _g_sum(
@@ -351,35 +361,59 @@ def _termination(base, scaled, scaling: Scaling, st: ADMMState, settings: Settin
         jnp.where(loose_u, 0.0, base.u * dy_pos)
         + jnp.where(loose_l, 0.0, base.l * dy_neg),
     ) if m else jnp.zeros(())
-    inf_dir_ok = _g_all(
-        base,
-        jnp.all(jnp.where(loose_u, dy_pos <= eps_p, True))
-        & jnp.all(jnp.where(loose_l, -dy_neg <= eps_p, True)),
-    ) if m else jnp.array(False)
-    # OSQP guards the certificate with an *absolute* δy-magnitude threshold
-    # (is_primal_infeasible): near convergence δy is numerical noise that can
-    # wander in null(Aᵀ) and must not trigger a spurious certificate.
-    prim_inf = (
-        (norm_dy > settings.eps_prim_inf)
-        & (_g_inf_norm(base, At_dy) <= eps_p)
-        & (support <= -eps_p)
-        & inf_dir_ok
-    )
+    # max over loose rows of the outward δy component (vacuous 0 if none):
+    # ``all(v ≤ ε over mask)`` ⇔ ``max(v over mask, init 0) ≤ ε`` for ε ≥ 0.
+    loose_dy_pos_max = _g_inf_norm(
+        base, jnp.where(loose_u, dy_pos, 0.0)
+    ) if m else jnp.zeros(())
+    loose_dy_neg_max = _g_inf_norm(
+        base, jnp.where(loose_l, -dy_neg, 0.0)
+    ) if m else jnp.zeros(())
+
+    def prim_inf_at(eps):
+        # OSQP guards the certificate with an *absolute* δy-magnitude
+        # threshold (is_primal_infeasible): near convergence δy is numerical
+        # noise that can wander in null(Aᵀ) and must not trigger a spurious
+        # certificate.
+        if not m:
+            return jnp.array(False)
+        eps_p = eps * norm_dy
+        return (
+            (norm_dy > eps)
+            & (At_dy_max <= eps_p)
+            & (support <= -eps_p)
+            & (loose_dy_pos_max <= eps_p)
+            & (loose_dy_neg_max <= eps_p)
+        )
+
+    prim_inf = prim_inf_at(settings.eps_prim_inf)
+    prim_inf_inacc = prim_inf_at(10 * settings.eps_prim_inf)
 
     # Dual infeasibility: Pδx ≈ 0, qᵀδx < 0, Aδx in the recession cone.
-    eps_d = settings.eps_dual_inf * norm_dx
-    P_dx = base.P_matvec(dx_u)
-    A_dx = base.A_matvec(dx_u)
-    cone_ok = _g_all(
-        base,
-        jnp.all(loose_u | (A_dx <= eps_d)) & jnp.all(loose_l | (A_dx >= -eps_d)),
-    ) if m else jnp.array(True)
-    dual_inf = (
-        (norm_dx > settings.eps_dual_inf)
-        & (_g_inf_norm(base, P_dx) <= eps_d)
-        & (_g_sum(base, base.q * dx_u) <= -eps_d)
-        & cone_ok
-    )
+    P_dx_max = _g_inf_norm(base, base.P_matvec(dx_u))
+    q_dot_dx = _g_sum(base, base.q * dx_u)
+    if m:
+        A_dx = base.A_matvec(dx_u)
+        neg_inf = jnp.asarray(-jnp.inf, dx_u.dtype)
+        A_dx_tight_u_max = _g_max(base, jnp.where(loose_u, neg_inf, A_dx))
+        A_dx_tight_l_min = -_g_max(base, jnp.where(loose_l, neg_inf, -A_dx))
+
+    def dual_inf_at(eps):
+        eps_d = eps * norm_dx
+        cone_ok = (
+            (A_dx_tight_u_max <= eps_d) & (A_dx_tight_l_min >= -eps_d)
+            if m
+            else jnp.array(True)
+        )
+        return (
+            (norm_dx > eps)
+            & (P_dx_max <= eps_d)
+            & (q_dot_dx <= -eps_d)
+            & cone_ok
+        )
+
+    dual_inf = dual_inf_at(settings.eps_dual_inf)
+    dual_inf_inacc = dual_inf_at(10 * settings.eps_dual_inf)
 
     # Failure detection (SURVEY.md §5): a diverged/NaN iterate marks the
     # problem kNonConvex (the practical analogue of OSQP's non-convexity
@@ -401,8 +435,20 @@ def _termination(base, scaled, scaling: Scaling, st: ADMMState, settings: Settin
                 ExitCode.kDualInfeasible,
                 jnp.where(
                     at_max,
+                    # OSQP at max_iter re-checks with 10×-relaxed tolerances
+                    # (termination.c approximate mode), in this order.
                     jnp.where(
-                        solved_inacc, ExitCode.kOptimalInaccurate, ExitCode.kMaxIterations
+                        solved_inacc,
+                        ExitCode.kOptimalInaccurate,
+                        jnp.where(
+                            prim_inf_inacc,
+                            ExitCode.kPrimalInfeasibleInaccurate,
+                            jnp.where(
+                                dual_inf_inacc,
+                                ExitCode.kDualInfeasibleInaccurate,
+                                ExitCode.kMaxIterations,
+                            ),
+                        ),
                     ),
                     ExitCode.kUnknown,
                 ),

@@ -476,25 +476,33 @@ def _termination_decide(
     solved = (prim_res <= eps_prim) & (dual_res <= eps_dual)
     solved_inacc = (prim_res <= 10 * eps_prim) & (dual_res <= 10 * eps_dual)
 
-    eps_p = settings.eps_prim_inf * tq.norm_dy
-    inf_dir_ok = (tq.loose_dy_pos_max <= eps_p) & (
-        tq.loose_dy_neg_max <= eps_p
-    )
-    prim_inf = (
-        (tq.norm_dy > settings.eps_prim_inf)
-        & (tq.At_dy_max <= eps_p)
-        & (tq.support <= -eps_p)
-        & inf_dir_ok
-    )
+    def prim_inf_at(eps):
+        eps_p = eps * tq.norm_dy
+        return (
+            (tq.norm_dy > eps)
+            & (tq.At_dy_max <= eps_p)
+            & (tq.support <= -eps_p)
+            & (tq.loose_dy_pos_max <= eps_p)
+            & (tq.loose_dy_neg_max <= eps_p)
+        )
 
-    eps_d = settings.eps_dual_inf * tq.norm_dx
-    cone_ok = (tq.A_dx_max <= eps_d) & (tq.A_dx_min >= -eps_d)
-    dual_inf = (
-        (tq.norm_dx > settings.eps_dual_inf)
-        & (tq.P_dx_max <= eps_d)
-        & (tq.q_dot_dx <= -eps_d)
-        & cone_ok
-    )
+    def dual_inf_at(eps):
+        eps_d = eps * tq.norm_dx
+        return (
+            (tq.norm_dx > eps)
+            & (tq.P_dx_max <= eps_d)
+            & (tq.q_dot_dx <= -eps_d)
+            & (tq.A_dx_max <= eps_d)
+            & (tq.A_dx_min >= -eps_d)
+        )
+
+    prim_inf = prim_inf_at(settings.eps_prim_inf)
+    dual_inf = dual_inf_at(settings.eps_dual_inf)
+    # OSQP at max_iter re-checks with 10×-relaxed tolerances (termination.c
+    # approximate mode) → the k*InfeasibleInaccurate statuses consumed by the
+    # reference's exit-code surface (/root/reference/src/utils.h:11).
+    prim_inf_inacc = prim_inf_at(10 * settings.eps_prim_inf)
+    dual_inf_inacc = dual_inf_at(10 * settings.eps_dual_inf)
 
     blew_up = tq.blew_up
 
@@ -516,7 +524,15 @@ def _termination_decide(
                         jnp.where(
                             solved_inacc,
                             ExitCode.kOptimalInaccurate,
-                            ExitCode.kMaxIterations,
+                            jnp.where(
+                                prim_inf_inacc,
+                                ExitCode.kPrimalInfeasibleInaccurate,
+                                jnp.where(
+                                    dual_inf_inacc,
+                                    ExitCode.kDualInfeasibleInaccurate,
+                                    ExitCode.kMaxIterations,
+                                ),
+                            ),
                         ),
                         ExitCode.kUnknown,
                     ),

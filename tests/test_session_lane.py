@@ -112,6 +112,7 @@ def test_session_hrec_factor_form():
     match the direct batched hrec solve exactly, and stay close to the
     gain-form session (algebraically identical, f32 reassociation only)."""
     S_HREC = dataclasses.replace(SETTINGS, factor_form="hrec")
+    S_GAIN = dataclasses.replace(SETTINGS, factor_form="gain")
     lane = build_wp_batch(honest=True)
 
     sh = setup_lane(lane, S_HREC)
@@ -125,9 +126,9 @@ def test_session_hrec_factor_form():
         np.asarray(rh.x), np.asarray(ref.x), rtol=1e-9, atol=1e-9
     )
 
-    sg = setup_lane(lane, SETTINGS)
+    sg = setup_lane(lane, S_GAIN)
     assert sg.factor[1] is not None
-    sg, rg = solve_lane(sg, SETTINGS)
+    sg, rg = solve_lane(sg, S_GAIN)
     np.testing.assert_array_equal(
         np.asarray(rh.status), np.asarray(rg.status)
     )
