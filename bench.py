@@ -255,6 +255,44 @@ def main():
     log(f"achieved factor+solve rate: {achieved/1e9:.1f} GFLOP/s "
         f"(sequential banded recurrence — latency-bound VPU work, not MXU)")
 
+    # HBM bandwidth accounting (VERDICT r2 next #5): exact per-iteration
+    # stream bytes of the fused chunk kernel (hrec form), enumerated from
+    # the kernel's own fwd/bwd stream lists (ops/admm_fused.py
+    # fwd_streams/bwd_streams) and the driver-side pack layouts:
+    #   fwd:  chol(Tp) + plf(PNp) + coef(CRp) + q(2N) + rho(Rp) +
+    #         state(SRp) read, w(2N) write;
+    #   bwd:  chol + plf + coef + lu(2Rp) + rho + state read + w read,
+    #         state write.
+    # (emit_term's residual packs stream only on each chunk's final
+    # iteration — amortized below over the cadence.)
+    from osqp_solver_tpu.ops.admm_fused import (
+        _coef_layout, _tri_maps, state_rows,
+    )
+
+    Rp = honest.rows_per_waypoint_padded
+    _, _, CR, CRp = _coef_layout(honest)
+    _, _, Tp = _tri_maps(B2)
+    _, SRp = state_rows(honest)
+    PNp = 8  # pad8(N): P-lower vel-diag pack rows
+    elems_per_wp = (
+        2 * Tp + 2 * PNp + 2 * CRp  # factor + P-lower + stencil, both passes
+        + B2 + 2 * Rp               # q (fwd), rho (both)
+        + 2 * SRp + SRp              # state read fwd+bwd, write bwd
+        + 2 * B2 + 2 * Rp            # w write+read, lu (bwd)
+        + (2 * 2 * Rp + PNp) / settings.check_termination  # term packs
+    )
+    bytes_per_iter = 4.0 * W * elems_per_wp  # f32
+    achieved_bytes = bytes_per_iter * honest_iters * BATCH / honest_dt
+    HBM_PEAK_V5E = 819e9  # bytes/s, TPU v5e (v5 lite) single chip
+    hbm_fraction = achieved_bytes / HBM_PEAK_V5E
+    log(
+        f"chunk-kernel streams: {bytes_per_iter/1e3:.1f} KB/iteration/problem"
+        f" -> achieved {achieved_bytes/1e9:.1f} GB/s = "
+        f"{hbm_fraction:.2f}x of v5e HBM peak (819 GB/s); the residual "
+        f"fraction is the Ruiz/factor kernels + per-chunk fixed costs "
+        f"inside the same wall-clock, so this is a floor on total traffic"
+    )
+
     north_star_per_chip = 10000.0 / 8.0
     print(
         json.dumps(
@@ -269,6 +307,8 @@ def main():
                 "secondary_box_only_qps_per_sec": round(box_qps, 2),
                 "median_iterations": honest_iters,
                 "factor_solve_gflops": round(achieved / 1e9, 1),
+                "achieved_gbps": round(achieved_bytes / 1e9, 1),
+                "hbm_fraction": round(hbm_fraction, 3),
             }
         )
     )

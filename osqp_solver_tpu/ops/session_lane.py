@@ -107,14 +107,42 @@ def _fresh_factor(scaled, rho_bar, settings: Settings):
     return scaled.kkt_factor(rho_vec, settings.sigma)
 
 
-def update_bounds_lane(session: LaneSession, **bound_fields) -> LaneSession:
+def update_bounds_lane(
+    session: LaneSession,
+    guard_reclassification: bool = False,
+    settings: Settings = Settings(),
+    **bound_fields,
+) -> LaneSession:
     """Values-only bounds/q update with frozen scaling and KEPT factor
     (``SetBounds``, ``osqp-wrapper.h:39-41``).  ``bound_fields`` replace
-    fields on the unscaled base container (e.g. ``pos_l=..., pos_u=...``);
-    classification must be stable (see module docstring)."""
+    fields on the unscaled base container (e.g. ``pos_l=..., pos_u=...``).
+
+    The cached factor assumes each row's classification (equality / loose /
+    finite → ρ_vec) is unchanged; an unguarded flip stalls convergence
+    (measured ~8× the iterations on an equality→box flip,
+    tests/test_reclassification.py) though termination still evaluates TRUE
+    residuals so accepted solutions remain optimal-to-tolerance.  With
+    ``guard_reclassification=True`` the classification is compared
+    elementwise and the WHOLE batch refactors under a scalar ``lax.cond``
+    when any row of any problem flipped — zero factor cost on the (common)
+    stable path, one batched refactor otherwise.  Off by default: the fleet
+    fast path is classification-stable by construction and the no-flip guard
+    still pays the ρ_vec compare each tick."""
     s = session.scaling
+    old_rho = _rho_vec(
+        session.rho_bar, session.scaled.l, session.scaled.u
+    ) if guard_reclassification else None
     base = session.base.replace(**bound_fields)
-    return session.replace(base=base, scaled=base.scale_data(s.D, s.E, s.c))
+    session = session.replace(base=base, scaled=base.scale_data(s.D, s.E, s.c))
+    if not guard_reclassification:
+        return session
+    new_rho = _rho_vec(session.rho_bar, session.scaled.l, session.scaled.u)
+    changed = jnp.any(old_rho != new_rho)
+
+    def refactor(sess):
+        return sess.replace(factor=_fresh_factor(sess.scaled, sess.rho_bar, settings))
+
+    return jax.lax.cond(changed, refactor, lambda s: s, session)
 
 
 def solve_lane(

@@ -438,6 +438,13 @@ class ShardedBandedQP(BandedQP):
         interior, U, V, C_right, C_left, C_off = _chunk_factor(
             Di, Li, Lleft, Lright
         )
+        if K == 1:
+            # No separators (the single chunk's separator slot is padding,
+            # pinned to zero in kkt_solve) — plain interior factorization.
+            return dict(
+                interior=interior, U=U, V=V, Lleft=Lleft, Lright=Lright,
+                reduced=None,
+            )
         gather = lambda v: jax.lax.all_gather(v, self.axis)
         sepD_all = gather(sepD)
         C_right_all = gather(C_right)
@@ -456,6 +463,10 @@ class ShardedBandedQP(BandedQP):
         b = self._s(rhs)
         bi, bs = b[:-1], b[-1]
         w = block_tridiag_solve(f["interior"], bi)  # local interior
+        if K == 1:
+            # Separator slot is padding (partition_banded guarantees
+            # K·Ws ≥ W+1): interior solve is the whole answer.
+            return jnp.concatenate([w, jnp.zeros_like(w[:1])]).reshape(-1)
         r_right = f["Lleft"] @ w[-1]
         r_left = f["Lright"].T @ w[0]
         gather = lambda v: jax.lax.all_gather(v, self.axis)
@@ -523,6 +534,45 @@ def partition_banded(qp: BandedQP, n_chunks: int):
     )
 
 
+import functools  # noqa: E402
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_solve_fn(mesh: Mesh, settings, axis: str, Ws: int, B: int,
+                      r: int, K: int, W: int, leaf_keys):
+    """Build (and cache) the jitted shard_map program for one static
+    configuration — repeated solves (timing loops, MPC) must not re-trace."""
+
+    def device_fn(leaves, warm):
+        local = {k: v[0] for k, v in leaves.items()}
+        sq = ShardedBandedQP(
+            waypoints=Ws, block=B, rows_per_wp=r,
+            n_chunks=K, total_waypoints=W, axis=axis, **local,
+        )
+        res = admm_mod.solve(sq, settings, warm_x=warm[0])
+        # x/y/z local shards → leading chunk axis for the out-spec.
+        return admm_mod.SolveResult(
+            x=res.x[None], y=res.y[None], z=res.z[None],
+            status=res.status, iterations=res.iterations,
+            prim_res=res.prim_res, dual_res=res.dual_res,
+            rho=res.rho, obj_val=res.obj_val,
+        )
+
+    out_specs = admm_mod.SolveResult(
+        x=P(axis), y=P(axis), z=P(axis),
+        status=P(), iterations=P(), prim_res=P(), dual_res=P(),
+        rho=P(), obj_val=P(),
+    )
+    fn = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=({k: P(axis) for k in leaf_keys}, P(axis)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def solve_banded_sharded(
     qp: BandedQP,
     mesh: Mesh,
@@ -551,34 +601,11 @@ def solve_banded_sharded(
          jnp.zeros((K * Ws - W) * B, qp.q_wb.dtype)]
     ).reshape(K, Ws * B)
 
-    def device_fn(leaves, warm):
-        local = {k: v[0] for k, v in leaves.items()}
-        sq = ShardedBandedQP(
-            waypoints=Ws, block=B, rows_per_wp=r,
-            n_chunks=K, total_waypoints=W, axis=axis, **local,
-        )
-        res = admm_mod.solve(sq, settings, warm_x=warm[0])
-        # x/y/z local shards → leading chunk axis for the out-spec.
-        return admm_mod.SolveResult(
-            x=res.x[None], y=res.y[None], z=res.z[None],
-            status=res.status, iterations=res.iterations,
-            prim_res=res.prim_res, dual_res=res.dual_res,
-            rho=res.rho, obj_val=res.obj_val,
-        )
-
-    out_specs = admm_mod.SolveResult(
-        x=P(axis), y=P(axis), z=P(axis),
-        status=P(), iterations=P(), prim_res=P(), dual_res=P(),
-        rho=P(), obj_val=P(),
+    jitted = _sharded_solve_fn(
+        mesh, settings, axis, Ws, B, r, K, W,
+        tuple(sorted(chunks.keys())),
     )
-    fn = jax.shard_map(
-        device_fn,
-        mesh=mesh,
-        in_specs=({k: P(axis) for k in chunks}, P(axis)),
-        out_specs=out_specs,
-        check_vma=False,
-    )
-    res = jax.jit(fn)(chunks, warm_pad)
+    res = jitted(chunks, warm_pad)
     # Drop horizon padding; rows back to global banded order.
     x = res.x.reshape(K * Ws, B)[:W].reshape(-1)
     z = res.z.reshape(K * Ws, r)[:W].reshape(-1)

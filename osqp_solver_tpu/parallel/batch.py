@@ -10,7 +10,7 @@ loop-termination reduction).
 """
 from __future__ import annotations
 
-from functools import partial
+import functools
 from typing import Optional
 
 import jax
@@ -27,6 +27,21 @@ def solve_batch(qps, settings: admm.Settings = admm.Settings(), warm_x=None):
     return admm.solve_batched(qps, settings, warm_x=warm_x)
 
 
+@functools.lru_cache(maxsize=64)
+def _sharded_batch_fn(mesh: Mesh, settings, axis: str):
+    """Cached jitted shard_map program (repeated solves must not re-trace)."""
+    vsolve = lambda qps_shard: admm.solve_batched(qps_shard, settings)
+    spec = P(axis)
+    fn = jax.shard_map(
+        vsolve,
+        mesh=mesh,
+        in_specs=(spec,),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
 def solve_batch_sharded(
     qps,
     mesh: Mesh,
@@ -39,13 +54,4 @@ def solve_batch_sharded(
     independently (device-local while loops) — near-linear scaling since no
     collectives are emitted inside the solve.
     """
-    vsolve = lambda qps_shard: admm.solve_batched(qps_shard, settings)
-    spec = P(axis)
-    fn = jax.shard_map(
-        vsolve,
-        mesh=mesh,
-        in_specs=(spec,),
-        out_specs=spec,
-        check_vma=False,
-    )
-    return jax.jit(fn)(qps)
+    return _sharded_batch_fn(mesh, settings, axis)(qps)
