@@ -78,8 +78,25 @@ def build_honest_batch(batch, W, N, dtype):
     # layout directly — the whole solve then runs with zero relayouts.
     from osqp_solver_tpu.gomp.trajectory_qp_lane import from_trailing
 
+    build = jax.jit(jax.vmap(one, out_axes=-1))
+    # The vmapped FK/jacfwd build materializes (B, W, 4, 6, 4) DH-chain
+    # temporaries whose tiny trailing dims pad ~21x on TPU — at W=802,
+    # batch 1024 that OOMs HBM (19.6 G > 15.75 G) while the SOLVE fits
+    # easily.  Build in batch slices (one-time cost, outside the measured
+    # loop) and concatenate on the trailing batch axis.
+    slice_b = batch if batch * W <= 256 * 802 else max(128, (256 * 802) // W)
+    if slice_b >= batch:
+        qp_t = build(jnp.arange(batch, dtype=dtype))
+    else:
+        parts = [
+            build(jnp.arange(i, min(i + slice_b, batch), dtype=dtype))
+            for i in range(0, batch, slice_b)
+        ]
+        qp_t = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=-1), *parts
+        )
     return from_trailing(
-        jax.jit(jax.vmap(one, out_axes=-1))(jnp.arange(batch, dtype=dtype)),
+        qp_t,
         row_layout="waypoint",  # contiguous per-waypoint rows: fused chunk kernel
     )
 

@@ -32,6 +32,11 @@ def main():
     ap.add_argument("--ct", type=int, default=13)
     ap.add_argument("--rho", type=float, default=0.05)
     ap.add_argument("--scaling", type=int, default=None)
+    ap.add_argument(
+        "--adapt-interval", type=int, default=None,
+        help="adaptive-rho interval (default 3*ct; set past max iters to "
+        "defer adaptation out of the measured tail like bench.py does)",
+    )
     args = ap.parse_args()
 
     import os
@@ -57,7 +62,10 @@ def main():
     B, W, N = args.batch, args.waypoints, 6
     settings = dataclasses.replace(
         admm.Settings(), rho=args.rho, check_termination=args.ct,
-        adaptive_rho_interval=3 * args.ct,
+        adaptive_rho_interval=(
+            args.adapt_interval if args.adapt_interval is not None
+            else 3 * args.ct
+        ),
         **({"scaling": args.scaling} if args.scaling is not None else {}),
     )
     t0 = time.time()

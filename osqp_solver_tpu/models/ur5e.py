@@ -219,6 +219,23 @@ def inverse_kinematics_position(p, q_ref=None):
     return sols[best], valid[best]
 
 
+def inverse_kinematics_checked(p, q_ref=None):
+    """Host-side IK entry that RAISES
+    :class:`~osqp_solver_tpu.utils.types.NoInverseKinematicSolution` when no
+    branch reaches ``p`` — the behavior the reference's dead exception
+    (``utils.h:66-70``) was written for but never wired to its (also
+    never-called) ``gripper_ik`` (``gomp-solver.h:34,103``).  Eager-only
+    (raising is host control flow); inside jit use
+    :func:`inverse_kinematics_position` and handle the validity flag.
+    """
+    from ..utils.types import NoInverseKinematicSolution
+
+    q, valid = inverse_kinematics_position(p, q_ref)
+    if not bool(valid):
+        raise NoInverseKinematicSolution(tuple(float(v) for v in jnp.asarray(p)))
+    return q
+
+
 def wrap_to_pi(q):
     """Wrap angles to (−π, π]."""
     return jnp.arctan2(jnp.sin(q), jnp.cos(q))

@@ -262,3 +262,5 @@ def test_solve_batched_matches_vmapped_solve():
     )
     # the mixed batch must actually have exercised per-problem adaptation
     assert len(set(np.asarray(res_b.rho).tolist())) > 1
+
+pytestmark = pytest.mark.quick  # fast tier: see CLAUDE.md

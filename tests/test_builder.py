@@ -301,3 +301,5 @@ def test_row_count_matches_reference_overallocation():
     lay = make_layout(w, d, gripper_flags=[False, True], n_obstacles=2)
     expected = (w - 1) * d + d * (w + w - 1 + w - 2 + w * (3 + 2 * 2))
     assert lay.n_rows == expected
+
+pytestmark = pytest.mark.quick  # fast tier: see CLAUDE.md

@@ -44,3 +44,5 @@ def test_cg_matches_direct_on_trajectory_qp():
     assert int(rd.status) == ExitCode.kOptimal
     assert int(rc.status) == ExitCode.kOptimal
     np.testing.assert_allclose(np.asarray(rc.x), np.asarray(rd.x), atol=1e-2)
+
+pytestmark = pytest.mark.quick  # fast tier: see CLAUDE.md

@@ -1,6 +1,7 @@
 """Checkpoint/resume round trip for solver sessions (SURVEY.md §5)."""
 import jax
 import numpy as np
+import pytest
 
 from osqp_solver_tpu.ops import admm, session as S
 from osqp_solver_tpu.utils import checkpoint
@@ -48,3 +49,5 @@ def test_checkpoint_validation(tmp_path):
     )
     with pytest.raises(ValueError, match="template expects"):
         checkpoint.load(path, qp_other)
+
+pytestmark = pytest.mark.quick  # fast tier: see CLAUDE.md

@@ -1,5 +1,6 @@
 """Constraint DSL tests (mirror of constraints.h semantics)."""
 import numpy as np
+import pytest
 
 from osqp_solver_tpu.gomp import constraints as C
 
@@ -44,3 +45,5 @@ def test_partial_in_range():
 
     scalar = C.in_range(3, -1.0, 1.0)
     np.testing.assert_allclose(scalar.lower, -1.0)
+
+pytestmark = pytest.mark.quick  # fast tier: see CLAUDE.md

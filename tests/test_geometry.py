@@ -78,3 +78,5 @@ def test_stack_lines_batches():
     assert batched.point.shape == (2, 3)
     empty = stack_lines([])
     assert empty.direction.shape == (0, 3)
+
+pytestmark = pytest.mark.quick  # fast tier: see CLAUDE.md

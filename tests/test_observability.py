@@ -1,6 +1,7 @@
 """Structured solve-stats tests (SURVEY.md §5 observability)."""
 import jax
 import numpy as np
+import pytest
 
 from osqp_solver_tpu.ops import admm
 from osqp_solver_tpu.utils.observability import StageTimer, solve_stats
@@ -36,3 +37,5 @@ def test_stage_timer():
         pass
     d = t.as_dict()
     assert set(d) == {"a", "b"} and d["a"] >= 0
+
+pytestmark = pytest.mark.quick  # fast tier: see CLAUDE.md

@@ -1,6 +1,7 @@
 """Trajectory helper mirrors (utils.h:50-96) unit tests."""
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from osqp_solver_tpu.gomp.trajectory import (
     calc_warm_start,
@@ -60,3 +61,5 @@ def test_map_joint_trajectory_to_xyz():
     pts = np.asarray(map_joint_trajectory_to_xyz(traj, fk, 2))
     assert pts.shape == (4, 3)
     np.testing.assert_allclose(pts[1], [2.0, 3.0, 5.0])
+
+pytestmark = pytest.mark.quick  # fast tier: see CLAUDE.md

@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from osqp_solver_tpu.ops.tridiag import (
     block_tridiag_factor,
@@ -67,3 +68,5 @@ def test_vmap_batches():
             np.linalg.solve(M, np.asarray(bs[i]).reshape(-1)),
             rtol=1e-8,
         )
+
+pytestmark = pytest.mark.quick  # fast tier: see CLAUDE.md

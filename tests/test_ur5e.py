@@ -84,3 +84,16 @@ def test_ik_position_reaches_point():
     np.testing.assert_allclose(
         np.asarray(ur5e.forward_kinematics(q)), np.asarray(p), atol=1e-6
     )
+
+
+def test_inverse_kinematics_checked_raises_out_of_workspace():
+    """The NoInverseKinematicSolution exception is LIVE (utils.h:66-70 is
+    dead code in the reference; our checked IK entry actually raises it)."""
+    from osqp_solver_tpu.utils.types import NoInverseKinematicSolution
+
+    q = ur5e.inverse_kinematics_checked(jnp.array([0.3, 0.2, 0.4]))
+    assert q.shape == (6,)
+    with pytest.raises(NoInverseKinematicSolution):
+        ur5e.inverse_kinematics_checked(jnp.array([5.0, 5.0, 5.0]))
+
+pytestmark = pytest.mark.quick  # fast tier: see CLAUDE.md
