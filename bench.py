@@ -36,7 +36,6 @@ def build_honest_batch(batch, W, N, dtype):
     import jax
     import jax.numpy as jnp
 
-    from osqp_solver_tpu import RobotBall
     from osqp_solver_tpu.gomp.geometry import HorizontalLine
     from osqp_solver_tpu.gomp.trajectory import calc_warm_start_jnp
     from osqp_solver_tpu.gomp.trajectory_qp import (
@@ -48,11 +47,8 @@ def build_honest_batch(batch, W, N, dtype):
 
     DT, INF = 0.1, 1e30
     balls = (
-        RobotBall(fk=ur5e.forward_kinematics_6_back,
-                  jacobian=ur5e.joint_jacobian_6_back, radius=0.15,
-                  is_gripper=False),
-        RobotBall(fk=ur5e.forward_kinematics,
-                  jacobian=ur5e.joint_jacobian, radius=0.05, is_gripper=True),
+        ur5e.make_ball("back6", 0.15),
+        ur5e.make_ball("tool", 0.05, is_gripper=True),
     )
     obstacles = [HorizontalLine.create((0.0, 1.0), (0.35, 0.0, 0.15))]
     con3d = (jnp.asarray([-INF, -0.4, -INF], dtype),

@@ -57,7 +57,7 @@ def main():
         pass
     import jax.numpy as jnp
 
-    from osqp_solver_tpu import RobotBall, constraints as C
+    from osqp_solver_tpu import constraints as C
     from osqp_solver_tpu.gomp.geometry import HorizontalLine
     from osqp_solver_tpu.gomp.planner import GOMPSolver
     from osqp_solver_tpu.models import ur5e
@@ -69,18 +69,8 @@ def main():
     INF = 1e30
 
     balls = [
-        RobotBall(
-            fk=ur5e.forward_kinematics_6_back,
-            jacobian=ur5e.joint_jacobian_6_back,
-            radius=0.15,
-            is_gripper=False,
-        ),
-        RobotBall(
-            fk=ur5e.forward_kinematics,
-            jacobian=ur5e.joint_jacobian,
-            radius=0.05,
-            is_gripper=True,
-        ),
+        ur5e.make_ball("back6", 0.15),
+        ur5e.make_ball("tool", 0.05, is_gripper=True),
     ]
     import dataclasses
 

@@ -49,8 +49,6 @@ def main():
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
-    from osqp_solver_tpu import GOMPSolver, RobotBall
-    from osqp_solver_tpu.gomp.constraints import Constraint
     from osqp_solver_tpu.gomp.geometry import HorizontalLine
     from osqp_solver_tpu.gomp.trajectory import calc_warm_start_jnp
     from osqp_solver_tpu.gomp.trajectory_qp import (
@@ -69,11 +67,8 @@ def main():
     reps = args.reps
 
     balls = (
-        RobotBall(fk=ur5e.forward_kinematics_6_back,
-                  jacobian=ur5e.joint_jacobian_6_back, radius=0.15,
-                  is_gripper=False),
-        RobotBall(fk=ur5e.forward_kinematics,
-                  jacobian=ur5e.joint_jacobian, radius=0.05, is_gripper=True),
+        ur5e.make_ball("back6", 0.15),
+        ur5e.make_ball("tool", 0.05, is_gripper=True),
     )
     obstacles = [HorizontalLine.create((0.0, 1.0), (0.35, 0.0, 0.15))]
     con3d = (jnp.asarray([-INF, -0.4, -INF], dtype),
@@ -112,16 +107,28 @@ def main():
     sync(qp_t.q_vec)
     log(f"built B={B} W={W}")
 
-    # The solver object only for its exact-FK checker.
-    gomp = GOMPSolver(
-        max_waypoints=W, time_step=DT,
-        position_constraint=Constraint(boxes[0][0], boxes[0][1]),
-        velocity_constraint=Constraint(boxes[1][0], boxes[1][1]),
-        acceleration_constraint=Constraint(boxes[2][0], boxes[2][1]),
-        con_3d=Constraint(con3d[0], con3d[1]),
-        obstacles=obstacles, balls=balls, settings=settings, dtype=dtype,
-    )
-    ok_b = jax.vmap(gomp._is_solution_ok_fn(W), in_axes=-1)
+    # Exact-FK feasibility check (planner._is_solution_ok_fn semantics).
+    from osqp_solver_tpu.gomp.geometry import ERROR
+
+    def is_ok(x):
+        q = x[: W * N].reshape(W, N)
+        ok = jnp.array(True)
+        for ball in balls:
+            if ball.fk_jac_batched is not None:
+                pts = jnp.asarray(ball.fk_jac_batched(q)[0], dtype)
+            else:
+                pts = jax.vmap(lambda s: jnp.asarray(ball.fk(s), dtype))(q)
+            r = ball.radius
+            if ball.is_gripper:
+                ok &= jnp.all(con3d[0][None, :] - ERROR <= pts - r)
+                ok &= jnp.all(pts + r <= con3d[1][None, :] + ERROR)
+            for line in obstacles:
+                coll = line.has_collision(pts, r)
+                above = line.is_above(pts, r)
+                ok &= jnp.all(~coll | above)
+        return ok
+
+    ok_b = jax.vmap(is_ok, in_axes=-1)
 
     def timed(label, fn, *a):
         """In-program loop of `reps` data-independent applications is wrong

@@ -217,7 +217,6 @@ def main():
     # the goal-position bounds, re-solving warm-started with the cached
     # factor (reference analogue: warm-started sequential Solve() calls,
     # gomp-solver.h:41-52 / osqp-wrapper.h Solve-to-Solve carry).
-    from osqp_solver_tpu import RobotBall
     from osqp_solver_tpu.gomp.geometry import HorizontalLine
     from osqp_solver_tpu.gomp.trajectory import calc_warm_start_jnp
     from osqp_solver_tpu.gomp.trajectory_qp import (
@@ -229,11 +228,8 @@ def main():
 
     W4, N4, DT4, INF4 = 100, 6, 0.1, 1e30
     balls4 = (
-        RobotBall(fk=ur5e.forward_kinematics_6_back,
-                  jacobian=ur5e.joint_jacobian_6_back, radius=0.15,
-                  is_gripper=False),
-        RobotBall(fk=ur5e.forward_kinematics,
-                  jacobian=ur5e.joint_jacobian, radius=0.05, is_gripper=True),
+        ur5e.make_ball("back6", 0.15),
+        ur5e.make_ball("tool", 0.05, is_gripper=True),
     )
     start4 = jnp.zeros(N4, dtype)
     end4 = jnp.asarray([np.pi, 0, 0, 0, 0, 0], dtype)

@@ -628,7 +628,14 @@ class GOMPSolver:
             q = x[: W * N].reshape(W, N)
             ok = jnp.array(True)
             for ball in self.balls:
-                pts = jax.vmap(lambda s: jnp.asarray(ball.fk(s), self.dtype))(q)
+                if getattr(ball, "fk_jac_batched", None) is not None:
+                    # SoA evaluator (models/robot.py) — avoids the 4×4 DH
+                    # padding blowup under vmap on TPU.
+                    pts = jnp.asarray(ball.fk_jac_batched(q)[0], self.dtype)
+                else:
+                    pts = jax.vmap(
+                        lambda s: jnp.asarray(ball.fk(s), self.dtype)
+                    )(q)
                 r = ball.radius
                 if ball.is_gripper:
                     ok &= jnp.all(con3d[0][None, :] - ERROR <= pts - r)

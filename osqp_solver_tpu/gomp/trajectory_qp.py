@@ -789,8 +789,15 @@ def linearize_workspace(
     obs_jac, obs_l, obs_u = qp.obs_jac, qp.obs_l, qp.obs_u
 
     for b, ball in enumerate(balls):
-        points = jax.vmap(lambda s: jnp.asarray(ball.fk(s), dt_))(q_traj)  # (W,3)
-        jac = jax.vmap(lambda s: jnp.asarray(ball.jacobian(s), dt_))(q_traj)
+        if getattr(ball, "fk_jac_batched", None) is not None:
+            # SoA batched evaluator: elementwise over (W,) — avoids the
+            # (W, 4, 4) DH-matrix tile-padding blowup on TPU (robot.py).
+            points, jac = ball.fk_jac_batched(q_traj)
+            points = jnp.asarray(points, dt_)
+            jac = jnp.asarray(jac, dt_)
+        else:
+            points = jax.vmap(lambda s: jnp.asarray(ball.fk(s), dt_))(q_traj)  # (W,3)
+            jac = jax.vmap(lambda s: jnp.asarray(ball.jacobian(s), dt_))(q_traj)
         jq = jnp.einsum("wan,wn->wa", jac, q_traj, precision=_HI)  # (W,3) J·q₀ per axis
         r = ball.radius
 

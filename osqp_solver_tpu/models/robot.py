@@ -11,7 +11,7 @@ problem batches); numpy callables also work on the host-side dense path.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Callable
+from typing import Callable, Optional
 
 
 @dataclass(frozen=True)
@@ -20,3 +20,10 @@ class RobotBall:
     jacobian: Callable  # q (N,) -> (3, N)
     radius: float
     is_gripper: bool = False
+    # Optional combined batched evaluator q (..., N) -> (points (..., 3),
+    # jac (..., 3, N)).  When set, the SCP linearization uses it instead of
+    # vmapping fk/jacobian — on TPU a structure-of-arrays evaluator avoids
+    # the (..., 4, 4) DH-matrix padding blowup (see models/ur5e.py
+    # fk_jacobian_points; measured 21-32x memory expansion, the planner's
+    # SCP bottleneck).  Must compute the SAME function as fk/jacobian.
+    fk_jac_batched: Optional[Callable] = None

@@ -109,6 +109,125 @@ jacobian_elbow_joint = jax.jacfwd(forward_kinematics_elbow_joint)
 
 
 # ---------------------------------------------------------------------------
+# Structure-of-arrays batched FK + geometric Jacobian (the TPU hot path)
+# ---------------------------------------------------------------------------
+#
+# The 4×4-matrix FK above is correct under vmap but hostile to the TPU when
+# batched: every intermediate becomes a (..., 4, 4) array whose trailing
+# dims pad to (8, 128) vector tiles — measured 21-32× memory expansion and
+# an 18.6 ms linearization stage at batch 1024 × W=50 (the planner's SCP
+# bottleneck; benchmarks/profile_planner_round.py).  Here each rotation
+# entry / origin coordinate is its OWN array over the batch dims, so every
+# op is elementwise on (...,)-arrays and the batch tiles the lanes.
+#
+# The Jacobian is the geometric one — J[:, i] = z_i × (p_E − p_i) for a
+# revolute joint about axis z_i through p_i — which is exactly
+# jacfwd(forward_kinematics) for this chain (pinned by
+# tests/test_ur5e.py::test_soa_matches_matrix_path).
+
+# Exact (cos α, sin α) per joint — α ∈ {π/2, 0, −π/2}; the matrix path's
+# jnp.cos(π/2) ≈ 6e-17 is numerically identical at f32.
+_CA_SA = ((0.0, 1.0), (1.0, 0.0), (1.0, 0.0), (0.0, 1.0), (0.0, -1.0), (1.0, 0.0))
+
+_FRAME_LINKS = {"tool": 6, "back6": 5, "elbow": 2}
+
+
+def _soa_compose(R, p, th, i):
+    """(R, p) ∘ DH-link i at angle ``th`` — all entries (...,)-arrays."""
+    ct, st = jnp.cos(th), jnp.sin(th)
+    ca, sa = _CA_SA[i]
+    a, d = A_[i], D_[i]
+    cols = (
+        (ct, st, 0.0),
+        (-st * ca, ct * ca, sa),
+        (st * sa, -ct * sa, ca),
+    )
+
+    def dot_row(i_, col):
+        acc = None
+        for k in range(3):
+            ck = col[k]
+            if isinstance(ck, float):
+                if ck == 0.0:
+                    continue
+                term = R[i_][k] * ck
+            else:
+                term = R[i_][k] * ck
+            acc = term if acc is None else acc + term
+        return acc
+
+    Rn = [[dot_row(i_, cols[j]) for j in range(3)] for i_ in range(3)]
+    pn = tuple(
+        p[i_]
+        + (R[i_][0] * (a * ct) if a else 0.0)
+        + (R[i_][1] * (a * st) if a else 0.0)
+        + (R[i_][2] * d if d else 0.0)
+        for i_ in range(3)
+    )
+    return Rn, pn
+
+
+def fk_jacobian_points(q, frame: str = "tool"):
+    """Batched FK point + 3×6 position Jacobian, SoA form.
+
+    ``q``: (..., 6) joint configurations with ARBITRARY leading batch dims.
+    Returns ``(points (..., 3), jac (..., 3, 6))`` computed with purely
+    elementwise ops on the leading dims.  ``frame``: "tool" (frame-6
+    origin, = :func:`forward_kinematics`), "back6" (frame-5 origin),
+    "elbow" (frame-2 origin).
+    """
+    q = jnp.asarray(q)
+    n_links = _FRAME_LINKS[frame]
+    dt_ = q.dtype
+    batch = q.shape[:-1]
+    zero = jnp.zeros(batch, dt_)
+    one = jnp.ones(batch, dt_)
+    R = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
+    p = (zero, zero, zero)
+    axes, origins = [], []
+    for i in range(n_links):
+        # Joint i rotates about the CURRENT frame's z-axis through its origin.
+        axes.append((R[0][2], R[1][2], R[2][2]))
+        origins.append(p)
+        R, p = _soa_compose(R, p, q[..., i], i)
+
+    cols = []
+    for i in range(NUM_JOINTS):
+        if i < n_links:
+            zx, zy, zz = axes[i]
+            rx, ry, rz = (p[0] - origins[i][0], p[1] - origins[i][1],
+                          p[2] - origins[i][2])
+            cols.append((zy * rz - zz * ry, zz * rx - zx * rz,
+                         zx * ry - zy * rx))
+        else:
+            cols.append((zero, zero, zero))
+    points = jnp.stack(p, axis=-1)  # (..., 3)
+    jac = jnp.stack(
+        [jnp.stack([cols[i][ax] for i in range(NUM_JOINTS)], axis=-1)
+         for ax in range(3)],
+        axis=-2,
+    )  # (..., 3, 6)
+    return points, jac
+
+
+def make_ball(frame: str, radius: float, is_gripper: bool = False):
+    """UR5e :class:`~osqp_solver_tpu.models.robot.RobotBall` with BOTH the
+    scalar callables (reference ``RobotBall.fk``/``jacobian`` API,
+    utils.h:33-42) and the SoA batched evaluator the jitted SCP
+    linearization prefers (``gomp/trajectory_qp.py::linearize_workspace``)."""
+    from .robot import RobotBall
+
+    fk = {"tool": forward_kinematics, "back6": forward_kinematics_6_back,
+          "elbow": forward_kinematics_elbow_joint}[frame]
+    jac = {"tool": joint_jacobian, "back6": joint_jacobian_6_back,
+           "elbow": jacobian_elbow_joint}[frame]
+    return RobotBall(
+        fk=fk, jacobian=jac, radius=radius, is_gripper=is_gripper,
+        fk_jac_batched=partial(fk_jacobian_points, frame=frame),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Closed-form inverse kinematics (8 branches).
 # ---------------------------------------------------------------------------
 

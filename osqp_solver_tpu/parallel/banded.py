@@ -611,3 +611,106 @@ def solve_banded_sharded(
     z = res.z.reshape(K * Ws, r)[:W].reshape(-1)
     y = res.y.reshape(K * Ws, r)[:W].reshape(-1)
     return res.replace(x=x, y=y, z=z)
+
+
+# ---------------------------------------------------------------------------
+# 2-D (batch, horizon) mesh: independent problems × sharded horizons
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=64)
+def _sharded_solve_2d_fn(mesh: Mesh, settings, baxis: str, haxis: str,
+                         Ws: int, B: int, r: int, Kh: int, W: int,
+                         leaf_keys):
+    """Jitted 2-D program: problems sharded over ``baxis`` (one per batch
+    row — on a pod that axis is laid ACROSS hosts, the DCN direction, since
+    no solver collective crosses it), each problem's horizon sharded over
+    ``haxis`` (intra-slice / ICI).  All collectives are emitted on ``haxis``
+    only."""
+
+    def device_fn(leaves, warm):
+        local = {k: v[0, 0] for k, v in leaves.items()}
+        sq = ShardedBandedQP(
+            waypoints=Ws, block=B, rows_per_wp=r,
+            n_chunks=Kh, total_waypoints=W, axis=haxis, **local,
+        )
+        res = admm_mod.solve(sq, settings, warm_x=warm[0, 0])
+        return admm_mod.SolveResult(
+            x=res.x[None, None], y=res.y[None, None], z=res.z[None, None],
+            status=res.status[None], iterations=res.iterations[None],
+            prim_res=res.prim_res[None], dual_res=res.dual_res[None],
+            rho=res.rho[None], obj_val=res.obj_val[None],
+        )
+
+    out_specs = admm_mod.SolveResult(
+        x=P(baxis, haxis), y=P(baxis, haxis), z=P(baxis, haxis),
+        status=P(baxis), iterations=P(baxis), prim_res=P(baxis),
+        dual_res=P(baxis), rho=P(baxis), obj_val=P(baxis),
+    )
+    fn = jax.shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=({k: P(baxis, haxis) for k in leaf_keys}, P(baxis, haxis)),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(fn)
+
+
+def solve_banded_sharded_2d(
+    qps: BandedQP,
+    mesh: Mesh,
+    settings: admm_mod.Settings = admm_mod.Settings(),
+    warm_x: Optional[jnp.ndarray] = None,
+    batch_axis: Optional[str] = None,
+    axis: str = HORIZON_AXIS,
+) -> admm_mod.SolveResult:
+    """Batch of long-horizon QPs on the full 2-D ``(batch, horizon)`` mesh
+    (SURVEY.md §2.3 mesh design): independent problems ride the batch axis,
+    each problem's state/data/KKT shard over the horizon axis exactly as in
+    :func:`solve_banded_sharded` (separator-only collectives).
+
+    ``qps`` is a :class:`BandedQP` whose leaves carry a leading problem axis
+    of size ``mesh.shape[batch_axis]`` (one problem per batch row);
+    ``warm_x`` is ``(B_mesh, W·B)`` interleaved, or None.  Returns a
+    batch-leading :class:`SolveResult` in global banded layout.
+    """
+    from .mesh import BATCH_AXIS
+
+    baxis = batch_axis or BATCH_AXIS
+    Kb = mesh.shape[baxis]
+    Kh = mesh.shape[axis]
+    W, B, r = qps.waypoints, qps.block, qps.rows_per_wp
+    nb = jax.tree_util.tree_leaves(qps)[0].shape[0]
+    assert nb == Kb, f"{nb} problems != {Kb} mesh batch rows"
+
+    data_fields = ("P_diag", "P_lower", "q_wb", "A0", "A1", "l_wr", "u_wr")
+    parts, Ws = [], None
+    for i in range(Kb):
+        ch, Ws = partition_banded(
+            BandedQP(waypoints=W, block=B, rows_per_wp=r,
+                     **{k: getattr(qps, k)[i] for k in data_fields}),
+            Kh,
+        )
+        parts.append(ch)
+    chunks = {
+        k: jnp.stack([p[k] for p in parts]) for k in parts[0]
+    }
+
+    if warm_x is None:
+        warm_x = jnp.zeros((Kb, W * B), qps.q_wb.dtype)
+    warm_pad = jnp.concatenate(
+        [jnp.asarray(warm_x, qps.q_wb.dtype),
+         jnp.zeros((Kb, (Kh * Ws - W) * B), qps.q_wb.dtype)],
+        axis=1,
+    ).reshape(Kb, Kh, Ws * B)
+
+    jitted = _sharded_solve_2d_fn(
+        mesh, settings, baxis, axis, Ws, B, r, Kh, W,
+        tuple(sorted(chunks.keys())),
+    )
+    res = jitted(chunks, warm_pad)
+    x = res.x.reshape(Kb, Kh * Ws, B)[:, :W].reshape(Kb, -1)
+    z = res.z.reshape(Kb, Kh * Ws, r)[:, :W].reshape(Kb, -1)
+    y = res.y.reshape(Kb, Kh * Ws, r)[:, :W].reshape(Kb, -1)
+    return res.replace(x=x, y=y, z=z)

@@ -204,3 +204,32 @@ def test_sharded_infeasible_certificate():
     res_shard = solve_banded_sharded(banded, mesh)
     assert int(res_single.status) == ExitCode.kPrimalInfeasible
     assert int(res_shard.status) == ExitCode.kPrimalInfeasible
+
+
+def test_2d_mesh_batch_by_horizon():
+    """Full 2-D (batch, horizon) mesh (SURVEY.md §2.3): 2 independent
+    problems × 4-way horizon sharding on the 8-device mesh; each problem
+    matches its own single-device solve (identical statuses/iterations —
+    the collective-aware termination makes identical decisions)."""
+    from osqp_solver_tpu.parallel.banded import solve_banded_sharded_2d
+
+    qp0 = make_traj_qp(W=19, N=3)
+    banded0, _ = banded_from_trajectory(qp0)
+    qp1 = make_traj_qp(W=19, N=3)
+    # perturb problem 1's goal so the two problems differ
+    qp1 = qp1.replace(pos_l=qp1.pos_l.at[-1].add(0.05),
+                      pos_u=qp1.pos_u.at[-1].add(0.05))
+    banded1, _ = banded_from_trajectory(qp1)
+    qps = jax.tree_util.tree_map(
+        lambda a, b: jnp.stack([a, b]), banded0, banded1
+    )
+
+    mesh = make_mesh(batch=2, horizon=4)
+    res = solve_banded_sharded_2d(qps, mesh)
+    for i, banded in enumerate((banded0, banded1)):
+        ref = admm.solve(banded)
+        assert int(np.asarray(res.status)[i]) == int(ref.status) == 0
+        assert int(np.asarray(res.iterations)[i]) == int(ref.iterations)
+        np.testing.assert_allclose(
+            np.asarray(res.x)[i], np.asarray(ref.x), rtol=0, atol=2e-3
+        )

@@ -96,4 +96,35 @@ def test_inverse_kinematics_checked_raises_out_of_workspace():
     with pytest.raises(NoInverseKinematicSolution):
         ur5e.inverse_kinematics_checked(jnp.array([5.0, 5.0, 5.0]))
 
+
+@pytest.mark.parametrize("frame", ["tool", "back6", "elbow"])
+def test_soa_matches_matrix_path(frame):
+    """The structure-of-arrays batched FK + geometric Jacobian equals the
+    4x4-matrix FK and its jacfwd exactly (same chain, different layout)."""
+    fk = {"tool": ur5e.forward_kinematics,
+          "back6": ur5e.forward_kinematics_6_back,
+          "elbow": ur5e.forward_kinematics_elbow_joint}[frame]
+    jac = {"tool": ur5e.joint_jacobian,
+           "back6": ur5e.joint_jacobian_6_back,
+           "elbow": ur5e.jacobian_elbow_joint}[frame]
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.uniform(-np.pi, np.pi, size=(7, 5, 6)))
+    pts, J = ur5e.fk_jacobian_points(q, frame=frame)
+    pts_ref = jax.vmap(jax.vmap(fk))(q)
+    J_ref = jax.vmap(jax.vmap(jac))(q)
+    np.testing.assert_allclose(np.asarray(pts), np.asarray(pts_ref),
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_ref),
+                               rtol=0, atol=1e-12)
+
+
+def test_make_ball_batched_evaluator_consistent():
+    ball = ur5e.make_ball("tool", 0.05, is_gripper=True)
+    q = jnp.asarray(np.random.default_rng(5).uniform(-1, 1, size=(4, 6)))
+    pts, J = ball.fk_jac_batched(q)
+    np.testing.assert_allclose(np.asarray(pts),
+                               np.asarray(jax.vmap(ball.fk)(q)), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(J),
+                               np.asarray(jax.vmap(ball.jacobian)(q)), atol=1e-12)
+
 pytestmark = pytest.mark.quick  # fast tier: see CLAUDE.md
