@@ -125,9 +125,12 @@ def update_bounds_lane(
     ``guard_reclassification=True`` the classification is compared
     elementwise and the WHOLE batch refactors under a scalar ``lax.cond``
     when any row of any problem flipped — zero factor cost on the (common)
-    stable path, one batched refactor otherwise.  Off by default: the fleet
-    fast path is classification-stable by construction and the no-flip guard
-    still pays the ρ_vec compare each tick."""
+    stable path, one batched refactor otherwise.  Off by default FROM DATA
+    (r3, TPU v5e, honest W=100 class, batch 1024, stable goal-shift tick):
+    guard off 3.83 ms/tick vs on 4.30 ms/tick — a 12% tax paid every tick
+    to insure against a hazard the fleet path avoids by construction and
+    that can only stall (never corrupt) a solve.  Turn it on for bound
+    sweeps that may cross equality↔box boundaries."""
     s = session.scaling
     old_rho = _rho_vec(
         session.rho_bar, session.scaled.l, session.scaled.u

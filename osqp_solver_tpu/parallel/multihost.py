@@ -182,6 +182,50 @@ def run_worker(out_path: str, batch: int = 8, W_batch: int = 12,
         "ref_iterations": int(ref_h.iterations),
     }
 
+    # ---- 2-D mesh: batch ACROSS processes (DCN), horizon within (ICI) -----
+    # The production layout (SURVEY.md §2.3): mesh rows = processes (the
+    # batch axis carries no solver collectives, so it is safe on the slow
+    # axis), mesh columns = each process's local devices (the Schur
+    # separator exchange stays intra-process).
+    from jax.sharding import Mesh
+
+    from .banded import banded_from_trajectory, solve_banded_sharded_2d
+    from .mesh import BATCH_AXIS, HORIZON_AXIS
+
+    n_proc = jax.process_count()
+    by_proc = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    grid = np.asarray(by_proc).reshape(n_proc, -1)
+    mesh2 = Mesh(grid, (BATCH_AXIS, HORIZON_AXIS))
+
+    bandeds = []
+    for i in range(n_proc):
+        qp_i = _build_horizon_problem(W_hor, N, dtype)
+        qp_i = qp_i.replace(
+            pos_l=qp_i.pos_l.at[-1].add(0.03 * i),
+            pos_u=qp_i.pos_u.at[-1].add(0.03 * i),
+        )
+        bandeds.append(banded_from_trajectory(qp_i)[0])
+    qps2 = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bandeds)
+    res2 = solve_banded_sharded_2d(replicate_to_global(qps2, mesh2), mesh2)
+    st2 = multihost_utils.process_allgather(res2.status, tiled=True)
+    it2 = multihost_utils.process_allgather(res2.iterations, tiled=True)
+    refs2 = [admm.solve(b, settings) for b in bandeds]
+    err2 = float(
+        jnp.max(jnp.abs(
+            res2.x - replicate_to_global(
+                jnp.stack([r.x for r in refs2]), mesh2
+            )
+        ))
+    )
+    report["mesh2d"] = {
+        "grid": list(grid.shape),
+        "statuses": [int(s) for s in np.asarray(st2)],
+        "ref_statuses": [int(r.status) for r in refs2],
+        "iterations": [int(s) for s in np.asarray(it2)],
+        "ref_iterations": [int(r.iterations) for r in refs2],
+        "max_abs_err_vs_local": err2,
+    }
+
     report["ok"] = (
         report["batch"]["all_optimal"]
         and report["batch"]["statuses_match"]
@@ -193,6 +237,10 @@ def run_worker(out_path: str, batch: int = 8, W_batch: int = 12,
         and err_h <= 2e-3
         and report["horizon"]["iterations"]
         == report["horizon"]["ref_iterations"]
+        and report["mesh2d"]["statuses"] == report["mesh2d"]["ref_statuses"]
+        and report["mesh2d"]["iterations"]
+        == report["mesh2d"]["ref_iterations"]
+        and err2 <= 2e-3
     )
     pathlib.Path(out_path).write_text(json.dumps(report, indent=1))
     return report
