@@ -311,11 +311,31 @@ class ShardedBandedQP(BandedQP):
     over ``axis``): ``waypoints`` is the local slot count ``Ws`` (``Ws−1``
     interior + the right separator), all leaves are local chunks, and the
     operator protocol exchanges only O(B) halos / O(K·B) separator data.
+
+    ``local_chunks > 1`` switches each device's INTERIOR factor/solve from
+    the sequential block-tridiagonal scan to a device-local Schur split
+    (``parallel/schur.py``) — two-level decomposition.  The scan at small B
+    is latency-bound on TPU (~1 µs per tiny step), so chunking the local
+    interior recovers most of the chip even when the mesh axis is short:
+    measured single-chip, W=10k/B=12, the cached solve at 64 chunks runs
+    10.8× the scan (BASELINE.md scaling section).  Pick
+    ``local_chunks ≈ local_W / 200`` on TPU; 1 (off) on CPU.
     """
 
     n_chunks: int = struct.field(pytree_node=False, default=2)
     total_waypoints: int = struct.field(pytree_node=False, default=0)
     axis: str = struct.field(pytree_node=False, default=HORIZON_AXIS)
+    local_chunks: int = struct.field(pytree_node=False, default=1)
+
+    def _interior_backend(self):
+        if self.local_chunks > 1:
+            from .schur import schur_factor, schur_solve_cached
+
+            return (
+                lambda D, L: schur_factor(D, L, self.local_chunks),
+                schur_solve_cached,
+            )
+        return block_tridiag_factor, block_tridiag_solve
 
     # collective-aware reductions in ops/admm.py + ops/ruiz.py key off this:
     @property
@@ -436,7 +456,7 @@ class ShardedBandedQP(BandedQP):
         Lleft = lower[-2]  # M[s_k, last interior]
         Lright = self._from_left(lower[-1])  # M[first interior, s_{k-1}]
         interior, U, V, C_right, C_left, C_off = _chunk_factor(
-            Di, Li, Lleft, Lright
+            Di, Li, Lleft, Lright, backend=self._interior_backend()
         )
         if K == 1:
             # No separators (the single chunk's separator slot is padding,
@@ -460,9 +480,10 @@ class ShardedBandedQP(BandedQP):
 
     def kkt_solve(self, f, rhs):
         K = self.n_chunks
+        _, interior_solve = self._interior_backend()
         b = self._s(rhs)
         bi, bs = b[:-1], b[-1]
-        w = block_tridiag_solve(f["interior"], bi)  # local interior
+        w = interior_solve(f["interior"], bi)  # local interior
         if K == 1:
             # Separator slot is padding (partition_banded guarantees
             # K·Ws ≥ W+1): interior solve is the whole answer.
@@ -539,7 +560,8 @@ import functools  # noqa: E402
 
 @functools.lru_cache(maxsize=64)
 def _sharded_solve_fn(mesh: Mesh, settings, axis: str, Ws: int, B: int,
-                      r: int, K: int, W: int, leaf_keys):
+                      r: int, K: int, W: int, leaf_keys,
+                      local_chunks: int = 1):
     """Build (and cache) the jitted shard_map program for one static
     configuration — repeated solves (timing loops, MPC) must not re-trace."""
 
@@ -547,7 +569,8 @@ def _sharded_solve_fn(mesh: Mesh, settings, axis: str, Ws: int, B: int,
         local = {k: v[0] for k, v in leaves.items()}
         sq = ShardedBandedQP(
             waypoints=Ws, block=B, rows_per_wp=r,
-            n_chunks=K, total_waypoints=W, axis=axis, **local,
+            n_chunks=K, total_waypoints=W, axis=axis,
+            local_chunks=local_chunks, **local,
         )
         res = admm_mod.solve(sq, settings, warm_x=warm[0])
         # x/y/z local shards → leading chunk axis for the out-spec.
@@ -579,6 +602,7 @@ def solve_banded_sharded(
     settings: admm_mod.Settings = admm_mod.Settings(),
     warm_x: Optional[jnp.ndarray] = None,
     axis: str = HORIZON_AXIS,
+    local_chunks: int = 1,
 ) -> admm_mod.SolveResult:
     """Full OSQP-semantics ADMM for ONE long-horizon QP, with state, data,
     and KKT all sharded over ``mesh[axis]`` — per-iteration communication is
@@ -603,7 +627,7 @@ def solve_banded_sharded(
 
     jitted = _sharded_solve_fn(
         mesh, settings, axis, Ws, B, r, K, W,
-        tuple(sorted(chunks.keys())),
+        tuple(sorted(chunks.keys())), local_chunks,
     )
     res = jitted(chunks, warm_pad)
     # Drop horizon padding; rows back to global banded order.

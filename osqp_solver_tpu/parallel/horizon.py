@@ -75,6 +75,7 @@ def solve_horizon_sharded(
     settings: admm_mod.Settings = admm_mod.Settings(),
     warm_x=None,
     axis: str = HORIZON_AXIS,
+    local_chunks: int = 1,
 ) -> admm_mod.SolveResult:
     """Run the full OSQP-semantics ADMM for ONE long-horizon trajectory QP
     with *everything* — vector state, problem data, KKT factor/solve —
@@ -97,7 +98,8 @@ def solve_horizon_sharded(
         if warm_x is not None
         else None
     )
-    res = solve_banded_sharded(banded, mesh, settings, warm_x=warm_int, axis=axis)
+    res = solve_banded_sharded(banded, mesh, settings, warm_x=warm_int, axis=axis,
+                               local_chunks=local_chunks)
     rm = jnp.asarray(np.asarray(row_map))
     return res.replace(
         x=deinterleave_state(res.x, W, N),

@@ -133,15 +133,21 @@ class SchurFactor:
     corr: Tuple  # (C_right, C_left, C_off) gathered (K, B, B) arrays
 
 
-def _chunk_factor(Di, Li, Lleft, Lright):
-    """Factor one chunk interior and its interface solve matrices."""
-    factor = block_tridiag_factor(Di, Li)
+def _chunk_factor(Di, Li, Lleft, Lright, backend=None):
+    """Factor one chunk interior and its interface solve matrices.
+
+    ``backend``: optional ``(factor_fn, solve_fn)`` pair replacing the
+    sequential block-tridiagonal scan — e.g. a nested Schur split of the
+    interior (two-level decomposition, ``parallel/banded.py``
+    ``local_chunks``)."""
+    factor_fn, solve_fn = backend or (block_tridiag_factor, block_tridiag_solve)
+    factor = factor_fn(Di, Li)
     Wl, B = Di.shape[0], Di.shape[1]
 
     def solve_cols(rhs_block, position):
         rhs = jnp.zeros((Wl, B, B), Di.dtype).at[position].set(rhs_block)
         return jax.vmap(
-            lambda col: block_tridiag_solve(factor, col), in_axes=-1, out_axes=-1
+            lambda col: solve_fn(factor, col), in_axes=-1, out_axes=-1
         )(rhs)
 
     U = solve_cols(Lleft.T, Wl - 1)

@@ -233,3 +233,19 @@ def test_2d_mesh_batch_by_horizon():
         np.testing.assert_allclose(
             np.asarray(res.x)[i], np.asarray(ref.x), rtol=0, atol=2e-3
         )
+
+
+def test_two_level_local_chunks_parity():
+    """Two-level decomposition (device shards × local Schur chunks of each
+    interior) is numerically equivalent to the scan-interior path: identical
+    termination decisions, solutions in the same tolerance class."""
+    qp = make_traj_qp(W=41, N=3)
+    banded, _ = banded_from_trajectory(qp)
+    mesh = make_mesh(batch=1, horizon=2)
+    res_scan = solve_banded_sharded(banded, mesh)
+    res_two = solve_banded_sharded(banded, mesh, local_chunks=4)
+    assert int(res_scan.status) == int(res_two.status) == 0
+    assert int(res_scan.iterations) == int(res_two.iterations)
+    np.testing.assert_allclose(
+        np.asarray(res_two.x), np.asarray(res_scan.x), rtol=0, atol=2e-3
+    )
