@@ -299,12 +299,17 @@ def main():
     lower = 0.2 * jax.random.normal(jax.random.PRNGKey(8), (W5 - 1, Bb, Bb), dtype)
     b5 = jax.random.normal(jax.random.PRNGKey(9), (W5, Bb), dtype)
 
+    def sync_tree(t):
+        import jax as _jax
+
+        return float(sum(jnp.sum(x) for x in _jax.tree_util.tree_leaves(t)))
+
     def t_of(fn, *a):
-        sync(fn(*a))
+        sync_tree(fn(*a))
         t0 = time.time()
         for _ in range(reps):
             out = fn(*a)
-        sync(out)
+        sync_tree(out)
         return (time.time() - t0) / reps
 
     f_seq_factor = jax.jit(block_tridiag_factor)

@@ -33,7 +33,15 @@ run mpc_fleet python benchmarks/mpc_fleet.py
 run mpc_fleet_ct2 python benchmarks/mpc_fleet.py --ct 2
 run planner python benchmarks/planner_batch.py --batch 1024 --skip-vmap --rho 0.05 --ct 13 --ari 39
 run planner_tuned python benchmarks/planner_batch.py --batch 1024 --skip-vmap --rho 0.04 --ct 3 --ari 45 --scaling 3
-run w802 python benchmarks/w802_lane.py --batch 128
-run w802_ct3 python benchmarks/w802_lane.py --batch 128 --ct 3 --rho 0.02 --scaling 3
+run planner_round_profile python benchmarks/profile_planner_round.py
+# w802: batch 512 is the measured knee; --adapt-interval defaults to 60
+# (deferred past the 30-iter tail — the old 3*ct=9 fired mid-solve and cost
+# 45-vs-30 iterations, BASELINE.md).  batch-128 kept as the r2 control.
+run w802 python benchmarks/w802_lane.py --batch 512 --ct 3 --rho 0.02
+run w802_b1024 python benchmarks/w802_lane.py --batch 1024 --ct 3 --rho 0.02
+run w802_r2control python benchmarks/w802_lane.py --batch 128 --ct 3 --rho 0.02 --adapt-interval 9
 run run_all python benchmarks/run_all.py
+# CPU-mesh scaling harness (no TPU needed; measures sharding overhead):
+run scaling python benchmarks/scaling.py --quick
+run scaling_onecore python benchmarks/scaling.py --quick --one-core
 echo "=== runbook done; results in $OUT ==="
