@@ -125,3 +125,31 @@ def test_oracle_residuals_meet_tolerance():
     )
     assert res.status == ExitCode.kOptimal
     assert res.prim_res < 1e-2 and res.dual_res < 1e-2
+
+
+def test_sparse_oracle_infeasibility_certificates():
+    """The banded-KKT sparse oracle emits the primal-infeasibility
+    certificate (round 3 — previously only the dense path had certificates)
+    and agrees with the JAX core on a contradictory trajectory QP."""
+    import jax.numpy as jnp
+
+    from osqp_solver_tpu.gomp.trajectory_qp import (
+        empty_trajectory_qp,
+        with_gomp_boxes,
+    )
+
+    W, N = 8, 2
+    qp = empty_trajectory_qp(W, N)
+    qp = with_gomp_boxes(
+        qp,
+        jnp.zeros(N),
+        jnp.ones(N),  # goal pinned at 1 ...
+        (jnp.full(N, -0.01), jnp.full(N, 0.01)),  # ... but pos box is ±0.01
+        (jnp.full(N, -5.0), jnp.full(N, 5.0)),
+        (jnp.full(N, -5.0), jnp.full(N, 5.0)),
+    )
+    P_csr, q_int, A_csr, l, u, kb, perm = qp.to_csr()
+    res_c = oracle.solve_sparse(P_csr, q_int, A_csr, l, u, kb)
+    assert res_c.status == ExitCode.kPrimalInfeasible
+    res_jax = admm.solve(qp)
+    assert int(res_jax.status) == ExitCode.kPrimalInfeasible
