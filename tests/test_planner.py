@@ -322,3 +322,39 @@ def test_run_padded_matches_run():
     assert [s.waypoints for s in res_padded.stats] == [
         s.waypoints for s in res_exact.stats
     ]
+
+
+def test_ur5e_soa_balls_match_matrix_balls():
+    """The planner run with SoA-evaluator balls (ur5e.make_ball — the TPU
+    hot path: batched FK + geometric Jacobian in linearize_workspace AND the
+    exact-FK check) produces the same plan as the matrix-FK balls."""
+    balls_soa = [
+        ur5e.make_ball("back6", 0.15),
+        ur5e.make_ball("tool", 0.05, is_gripper=True),
+    ]
+    balls_mat = [
+        RobotBall(fk=ur5e.forward_kinematics_6_back,
+                  jacobian=ur5e.joint_jacobian_6_back, radius=0.15),
+        RobotBall(fk=ur5e.forward_kinematics, jacobian=ur5e.joint_jacobian,
+                  radius=0.05, is_gripper=True),
+    ]
+    start = np.zeros(6)
+    end = np.array([np.pi, 0.0, 0.0, 0.0, 0.0, 0.0])
+    results = []
+    for balls in (balls_soa, balls_mat):
+        solver = GOMPSolver(
+            max_waypoints=22,
+            time_step=0.1,
+            pos_con=C.in_range(6, -2 * np.pi, 2 * np.pi),
+            vel_con=C.in_range(6, -np.pi, np.pi),
+            acc_con=C.in_range(6, -np.pi * 800 / 180, np.pi * 800 / 180),
+            con_3d=C.in_range(3, [-C.INF, -0.4, -C.INF], None),
+            obstacles=[],
+            balls=balls,
+            segments=1,
+        )
+        results.append(solver.run(start, end))
+    assert results[0].status == results[1].status == ExitCode.kOptimal
+    np.testing.assert_allclose(
+        results[0].trajectory, results[1].trajectory, rtol=0, atol=1e-9
+    )
