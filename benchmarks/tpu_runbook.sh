@@ -40,6 +40,7 @@ run planner_round_profile python benchmarks/profile_planner_round.py
 run w802 python benchmarks/w802_lane.py --batch 512 --ct 3 --rho 0.02
 run w802_b1024 python benchmarks/w802_lane.py --batch 1024 --ct 3 --rho 0.02
 run w802_r2control python benchmarks/w802_lane.py --batch 128 --ct 3 --rho 0.02 --adapt-interval 9
+run long_horizon python benchmarks/long_horizon.py
 run run_all python benchmarks/run_all.py
 # CPU-mesh scaling harness (no TPU needed; measures sharding overhead):
 run scaling python benchmarks/scaling.py --quick
