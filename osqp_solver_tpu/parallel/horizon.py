@@ -42,8 +42,31 @@ class ChunkedTrajectoryQP(TrajectoryQP):
         return self._deinterleave(s)
 
 
-def as_chunked(qp: TrajectoryQP, n_chunks: int) -> ChunkedTrajectoryQP:
-    """Re-wrap a :class:`TrajectoryQP` for chunk-partitioned KKT solves."""
+def auto_chunks(waypoints: int) -> int:
+    """Chunk-count policy for single-device long horizons.
+
+    The sequential block-tridiagonal scan is LATENCY-bound on TPU (~1 µs per
+    tiny B×B step); the r3 hardware sweep at W=10,000/B=12 put the cached
+    Schur solve at 24/23/5.0/3.8/3.7 ms for K=8/16/32/64/128 vs the 40.9 ms
+    scan — interiors of ~150-300 waypoints balance the chunk vmap width
+    against the reduced-system size.  End-to-end full ADMM at K=64: 16.6×
+    (benchmarks/long_horizon.py).  Short horizons keep the scan (the
+    redundancy isn't paid back below a few hundred waypoints)."""
+    if waypoints < 512:
+        return 1
+    return max(2, min(128, waypoints // 160))
+
+
+def as_chunked(qp: TrajectoryQP, n_chunks: int | None = None) -> ChunkedTrajectoryQP:
+    """Re-wrap a :class:`TrajectoryQP` for chunk-partitioned KKT solves.
+
+    ``n_chunks=None`` applies :func:`auto_chunks`."""
+    if n_chunks is None:
+        n_chunks = auto_chunks(qp.waypoints)
+    if int(n_chunks) <= 1:
+        # One chunk IS the sequential scan — keep the plain container
+        # (schur's reduced system would be empty).
+        return qp
     fields = {
         name: getattr(qp, name)
         for name in TrajectoryQP.__dataclass_fields__  # noqa: SLF001

@@ -165,3 +165,29 @@ def test_full_admm_horizon_sharded_8dev():
     np.testing.assert_allclose(
         np.asarray(res_sh.x), np.asarray(res_ref.x), atol=1e-6
     )
+
+
+def test_auto_chunks_policy():
+    """as_chunked(None) applies the measured single-device policy: scan for
+    short horizons, ~W/160 chunks (clamped) for long ones; an auto-chunked
+    solve stays correct (short horizon -> n_chunks=1 degenerates to the
+    scan path exactly)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_trajectory_qp import build_both
+
+    from osqp_solver_tpu.ops import admm
+    from osqp_solver_tpu.ops.status import ExitCode
+    from osqp_solver_tpu.parallel.horizon import as_chunked, auto_chunks
+
+    assert auto_chunks(100) == 1
+    assert auto_chunks(802) == 5
+    assert auto_chunks(10000) == 62
+    assert auto_chunks(10**6) == 128
+
+    _, qp, traj = build_both(True, feasible=True)
+    auto = as_chunked(qp)  # short horizon -> plain container (scan path)
+    assert auto is qp
+    res = admm.solve(auto, admm.Settings(), warm_x=jnp.asarray(traj))
+    assert int(res.status) == ExitCode.kOptimal
