@@ -645,36 +645,49 @@ def solve_banded_sharded(
 @functools.lru_cache(maxsize=64)
 def _sharded_solve_2d_fn(mesh: Mesh, settings, baxis: str, haxis: str,
                          Ws: int, B: int, r: int, Kh: int, W: int,
-                         leaf_keys):
-    """Jitted 2-D program: problems sharded over ``baxis`` (one per batch
-    row — on a pod that axis is laid ACROSS hosts, the DCN direction, since
-    no solver collective crosses it), each problem's horizon sharded over
-    ``haxis`` (intra-slice / ICI).  All collectives are emitted on ``haxis``
-    only."""
+                         leaf_keys, per: int = 1):
+    """Jitted 2-D program: problems sharded over ``baxis`` (``per`` problems
+    per batch row — on a pod that axis is laid ACROSS hosts, the DCN
+    direction, since no solver collective crosses it), each problem\'s
+    horizon sharded over ``haxis`` (intra-slice / ICI).  All collectives are
+    emitted on ``haxis`` only; the ``per`` local problems run vmapped
+    (batched collectives + the solver\'s own masked convergence)."""
 
     def device_fn(leaves, warm):
-        local = {k: v[0, 0] for k, v in leaves.items()}
-        sq = ShardedBandedQP(
-            waypoints=Ws, block=B, rows_per_wp=r,
-            n_chunks=Kh, total_waypoints=W, axis=haxis, **local,
+        local = {k: v[0, :, 0] for k, v in leaves.items()}  # (per, ...)
+
+        def solve_one(leaf_vals, w):
+            sq = ShardedBandedQP(
+                waypoints=Ws, block=B, rows_per_wp=r,
+                n_chunks=Kh, total_waypoints=W, axis=haxis,
+                **dict(zip(sorted(local), leaf_vals)),
+            )
+            return admm_mod.solve(sq, settings, warm_x=w)
+
+        res = jax.vmap(lambda *a: solve_one(a[:-1], a[-1]))(
+            *[local[k] for k in sorted(local)], warm[0, :, 0]
         )
-        res = admm_mod.solve(sq, settings, warm_x=warm[0, 0])
         return admm_mod.SolveResult(
-            x=res.x[None, None], y=res.y[None, None], z=res.z[None, None],
+            x=res.x[None, :, None], y=res.y[None, :, None],
+            z=res.z[None, :, None],
             status=res.status[None], iterations=res.iterations[None],
             prim_res=res.prim_res[None], dual_res=res.dual_res[None],
             rho=res.rho[None], obj_val=res.obj_val[None],
         )
 
     out_specs = admm_mod.SolveResult(
-        x=P(baxis, haxis), y=P(baxis, haxis), z=P(baxis, haxis),
+        x=P(baxis, None, haxis), y=P(baxis, None, haxis),
+        z=P(baxis, None, haxis),
         status=P(baxis), iterations=P(baxis), prim_res=P(baxis),
         dual_res=P(baxis), rho=P(baxis), obj_val=P(baxis),
     )
     fn = jax.shard_map(
         device_fn,
         mesh=mesh,
-        in_specs=({k: P(baxis, haxis) for k in leaf_keys}, P(baxis, haxis)),
+        in_specs=(
+            {k: P(baxis, None, haxis) for k in leaf_keys},
+            P(baxis, None, haxis),
+        ),
         out_specs=out_specs,
         check_vma=False,
     )
@@ -694,10 +707,12 @@ def solve_banded_sharded_2d(
     each problem's state/data/KKT shard over the horizon axis exactly as in
     :func:`solve_banded_sharded` (separator-only collectives).
 
-    ``qps`` is a :class:`BandedQP` whose leaves carry a leading problem axis
-    of size ``mesh.shape[batch_axis]`` (one problem per batch row);
-    ``warm_x`` is ``(B_mesh, W·B)`` interleaved, or None.  Returns a
-    batch-leading :class:`SolveResult` in global banded layout.
+    ``qps`` is a :class:`BandedQP` whose leaves carry a leading problem
+    axis — any positive multiple of ``mesh.shape[batch_axis]`` (problems
+    beyond one-per-row run vmapped inside each shard, with the solver's
+    masked convergence); ``warm_x`` is ``(n_problems, W·B)`` interleaved,
+    or None.  Returns a batch-leading :class:`SolveResult` in global
+    banded layout.
     """
     from .mesh import BATCH_AXIS
 
@@ -706,35 +721,49 @@ def solve_banded_sharded_2d(
     Kh = mesh.shape[axis]
     W, B, r = qps.waypoints, qps.block, qps.rows_per_wp
     nb = jax.tree_util.tree_leaves(qps)[0].shape[0]
-    assert nb == Kb, f"{nb} problems != {Kb} mesh batch rows"
+    per, rem = divmod(nb, Kb)
+    assert per >= 1 and rem == 0, (
+        f"{nb} problems must be a positive multiple of the {Kb} mesh "
+        f"batch rows"
+    )
 
     data_fields = ("P_diag", "P_lower", "q_wb", "A0", "A1", "l_wr", "u_wr")
     parts, Ws = [], None
-    for i in range(Kb):
+    for i in range(nb):
         ch, Ws = partition_banded(
             BandedQP(waypoints=W, block=B, rows_per_wp=r,
                      **{k: getattr(qps, k)[i] for k in data_fields}),
             Kh,
         )
         parts.append(ch)
+    # (nb, Kh, ...) -> (Kb, per, Kh, ...): row-major problem placement.
     chunks = {
-        k: jnp.stack([p[k] for p in parts]) for k in parts[0]
+        k: jnp.stack([p[k] for p in parts]).reshape(
+            (Kb, per) + parts[0][k].shape
+        )
+        for k in parts[0]
     }
 
     if warm_x is None:
-        warm_x = jnp.zeros((Kb, W * B), qps.q_wb.dtype)
+        warm_x = jnp.zeros((nb, W * B), qps.q_wb.dtype)
     warm_pad = jnp.concatenate(
         [jnp.asarray(warm_x, qps.q_wb.dtype),
-         jnp.zeros((Kb, (Kh * Ws - W) * B), qps.q_wb.dtype)],
+         jnp.zeros((nb, (Kh * Ws - W) * B), qps.q_wb.dtype)],
         axis=1,
-    ).reshape(Kb, Kh, Ws * B)
+    ).reshape(Kb, per, Kh, Ws * B)
 
     jitted = _sharded_solve_2d_fn(
         mesh, settings, baxis, axis, Ws, B, r, Kh, W,
-        tuple(sorted(chunks.keys())),
+        tuple(sorted(chunks.keys())), per,
     )
     res = jitted(chunks, warm_pad)
-    x = res.x.reshape(Kb, Kh * Ws, B)[:, :W].reshape(Kb, -1)
-    z = res.z.reshape(Kb, Kh * Ws, r)[:, :W].reshape(Kb, -1)
-    y = res.y.reshape(Kb, Kh * Ws, r)[:, :W].reshape(Kb, -1)
-    return res.replace(x=x, y=y, z=z)
+    x = res.x.reshape(nb, Kh * Ws, B)[:, :W].reshape(nb, -1)
+    z = res.z.reshape(nb, Kh * Ws, r)[:, :W].reshape(nb, -1)
+    y = res.y.reshape(nb, Kh * Ws, r)[:, :W].reshape(nb, -1)
+    st = res.status.reshape(nb)
+    it = res.iterations.reshape(nb)
+    return res.replace(
+        x=x, y=y, z=z, status=st, iterations=it,
+        prim_res=res.prim_res.reshape(nb), dual_res=res.dual_res.reshape(nb),
+        rho=res.rho.reshape(nb), obj_val=res.obj_val.reshape(nb),
+    )

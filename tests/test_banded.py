@@ -207,26 +207,24 @@ def test_sharded_infeasible_certificate():
 
 
 def test_2d_mesh_batch_by_horizon():
-    """Full 2-D (batch, horizon) mesh (SURVEY.md §2.3): 2 independent
-    problems × 4-way horizon sharding on the 8-device mesh; each problem
-    matches its own single-device solve (identical statuses/iterations —
-    the collective-aware termination makes identical decisions)."""
+    """Full 2-D (batch, horizon) mesh (SURVEY.md §2.3): 4 independent
+    problems over 2 batch rows (2 vmapped per row) × 4-way horizon sharding
+    on the 8-device mesh; each problem matches its own single-device solve
+    (identical statuses/iterations — the collective-aware termination makes
+    identical decisions; the vmapped while-loop masks finished problems)."""
     from osqp_solver_tpu.parallel.banded import solve_banded_sharded_2d
 
-    qp0 = make_traj_qp(W=19, N=3)
-    banded0, _ = banded_from_trajectory(qp0)
-    qp1 = make_traj_qp(W=19, N=3)
-    # perturb problem 1's goal so the two problems differ
-    qp1 = qp1.replace(pos_l=qp1.pos_l.at[-1].add(0.05),
-                      pos_u=qp1.pos_u.at[-1].add(0.05))
-    banded1, _ = banded_from_trajectory(qp1)
-    qps = jax.tree_util.tree_map(
-        lambda a, b: jnp.stack([a, b]), banded0, banded1
-    )
+    bandeds = []
+    for i in range(4):
+        qp_i = make_traj_qp(W=19, N=3)
+        qp_i = qp_i.replace(pos_l=qp_i.pos_l.at[-1].add(0.02 * i),
+                            pos_u=qp_i.pos_u.at[-1].add(0.02 * i))
+        bandeds.append(banded_from_trajectory(qp_i)[0])
+    qps = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *bandeds)
 
     mesh = make_mesh(batch=2, horizon=4)
     res = solve_banded_sharded_2d(qps, mesh)
-    for i, banded in enumerate((banded0, banded1)):
+    for i, banded in enumerate(bandeds):
         ref = admm.solve(banded)
         assert int(np.asarray(res.status)[i]) == int(ref.status) == 0
         assert int(np.asarray(res.iterations)[i]) == int(ref.iterations)
