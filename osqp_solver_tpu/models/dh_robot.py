@@ -1,0 +1,277 @@
+"""Generic DH-parameterized robot arms, jnp-native.
+
+The reference is hard-wired to one arm: it pulls FK/Jacobians for the UR5e
+from the external ``Kinematics-UR5e-arm`` library and passes them into
+``RobotBall`` (``/root/reference/src/utils.h:33-42``; use sites
+``examples/solver-example.cpp:31,37-41``).  The GOMP stack here is already
+robot-agnostic — ``RobotBall`` takes callables and the constraint builder /
+planner are generic in the joint count N — so this module supplies the
+missing piece for arms OTHER than the UR5e: a classic-DH table-driven robot
+model with
+
+* matrix-path FK for any frame (reference check / host use),
+* the structure-of-arrays batched FK + geometric Jacobian hot path
+  (same layout discipline as ``models/ur5e.py::fk_jacobian_points`` —
+  every rotation entry is its own batch-shaped array, so nothing pads to
+  (8, 128) tiles; the planner's SCP linearization consumes it via
+  ``RobotBall.fk_jac_batched``),
+* a jit-friendly damped-least-squares position IK for arms with no
+  closed form (the UR5e keeps its analytic 8-branch IK in ``ur5e.py``),
+* presets: ``UR5E`` (pinned equal to ``models/ur5e.py``), ``UR10E``,
+  and the 7-DOF ``IIWA14`` — the 7-DOF preset doubles as the test that the
+  whole GOMP/ADMM stack is generic in N (``tests/test_dh_robot.py``).
+
+Classic DH convention throughout: ``T_i = Rz(θ_i)·Tz(d_i)·Tx(a_i)·Rx(α_i)``.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _snap(x: float) -> float:
+    """Snap cos/sin of axis-aligned α to exact 0/±1 so the SoA composer can
+    drop the corresponding terms at trace time (same trick as the UR5e
+    ``_CA_SA`` table)."""
+    for v in (0.0, 1.0, -1.0):
+        if abs(x - v) < 1e-12:
+            return v
+    return float(x)
+
+
+@dataclass(frozen=True)
+class DHRobot:
+    """A serial revolute arm given by its classic DH table.
+
+    ``a``/``d``/``alpha``: per-joint link length, offset, and twist (meters /
+    radians), all the same length N.  All methods are traceable jnp and
+    vmappable over waypoints and problem batches.
+    """
+
+    a: Tuple[float, ...]
+    d: Tuple[float, ...]
+    alpha: Tuple[float, ...]
+    name: str = "dh-robot"
+
+    def __post_init__(self):
+        assert len(self.a) == len(self.d) == len(self.alpha), (
+            self.a, self.d, self.alpha)
+
+    @property
+    def n_joints(self) -> int:
+        return len(self.a)
+
+    # -- matrix path (reference check / host use) ---------------------------
+
+    def link_transform(self, i: int, theta):
+        ct, st = jnp.cos(theta), jnp.sin(theta)
+        ca, sa = _snap(math.cos(self.alpha[i])), _snap(math.sin(self.alpha[i]))
+        a, d = self.a[i], self.d[i]
+        return jnp.array(
+            [
+                [ct, -st * ca, st * sa, a * ct],
+                [st, ct * ca, -ct * sa, a * st],
+                [0.0, sa, ca, d],
+                [0.0, 0.0, 0.0, 1.0],
+            ]
+        )
+
+    def frames(self, q):
+        """Cumulative transforms ``T_0i`` for i = 0..N; shape (N+1, 4, 4)."""
+        T = jnp.eye(4, dtype=q.dtype)
+        out = [T]
+        for i in range(self.n_joints):
+            T = T @ self.link_transform(i, q[i])
+            out.append(T)
+        return jnp.stack(out)
+
+    def point_fk(self, q, link: int | None = None):
+        """Origin of frame ``link`` (default: the tool frame N); (3,)."""
+        link = self.n_joints if link is None else int(link)
+        T = jnp.eye(4, dtype=q.dtype)
+        for i in range(link):
+            T = T @ self.link_transform(i, q[i])
+        return T[:3, 3]
+
+    def fk(self, link: int | None = None):
+        """``q (N,) -> point (3,)`` callable for :class:`RobotBall.fk`."""
+        return partial(self.point_fk, link=link)
+
+    def jacobian(self, link: int | None = None):
+        """Exact 3×N position Jacobian (jacfwd of the closed-form FK)."""
+        return jax.jacfwd(self.fk(link))
+
+    # -- structure-of-arrays batched hot path -------------------------------
+
+    def _soa_compose(self, R, p, th, i):
+        """(R, p) ∘ DH-link i at angle ``th`` — all entries (...,)-arrays."""
+        ct, st = jnp.cos(th), jnp.sin(th)
+        ca, sa = _snap(math.cos(self.alpha[i])), _snap(math.sin(self.alpha[i]))
+        a, d = self.a[i], self.d[i]
+        cols = (
+            (ct, st, 0.0),
+            (-st * ca, ct * ca, sa),
+            (st * sa, -ct * sa, ca),
+        )
+
+        def dot_row(r, col):
+            acc = None
+            for k in range(3):
+                ck = col[k]
+                if isinstance(ck, float) and ck == 0.0:
+                    continue
+                term = R[r][k] * ck
+                acc = term if acc is None else acc + term
+            return acc
+
+        Rn = [[dot_row(r, cols[j]) for j in range(3)] for r in range(3)]
+        pn = tuple(
+            p[r]
+            + (R[r][0] * (a * ct) if a else 0.0)
+            + (R[r][1] * (a * st) if a else 0.0)
+            + (R[r][2] * d if d else 0.0)
+            for r in range(3)
+        )
+        return Rn, pn
+
+    def fk_jacobian_points(self, q, link: int | None = None):
+        """Batched FK point + 3×N geometric Jacobian, SoA form.
+
+        ``q``: (..., N) with arbitrary leading batch dims; returns
+        ``(points (..., 3), jac (..., 3, N))`` using purely elementwise ops
+        on the leading dims (the TPU-friendly layout — see
+        ``docs/KERNELS.md`` round-3 addenda).  Geometric column
+        ``J[:, i] = z_i × (p_link − p_i)``, identical to jacfwd of the
+        matrix path (pinned by ``tests/test_dh_robot.py``).
+        """
+        q = jnp.asarray(q)
+        n = self.n_joints
+        link = n if link is None else int(link)
+        batch = q.shape[:-1]
+        zero = jnp.zeros(batch, q.dtype)
+        one = jnp.ones(batch, q.dtype)
+        R = [[one, zero, zero], [zero, one, zero], [zero, zero, one]]
+        p = (zero, zero, zero)
+        axes, origins = [], []
+        for i in range(link):
+            axes.append((R[0][2], R[1][2], R[2][2]))
+            origins.append(p)
+            R, p = self._soa_compose(R, p, q[..., i], i)
+
+        cols = []
+        for i in range(n):
+            if i < link:
+                zx, zy, zz = axes[i]
+                rx, ry, rz = (p[0] - origins[i][0], p[1] - origins[i][1],
+                              p[2] - origins[i][2])
+                cols.append((zy * rz - zz * ry, zz * rx - zx * rz,
+                             zx * ry - zy * rx))
+            else:
+                cols.append((zero, zero, zero))
+        points = jnp.stack(p, axis=-1)
+        jac = jnp.stack(
+            [jnp.stack([cols[i][ax] for i in range(n)], axis=-1)
+             for ax in range(3)],
+            axis=-2,
+        )
+        return points, jac
+
+    def make_ball(self, link: int | None = None, radius: float = 0.05,
+                  is_gripper: bool = False):
+        """:class:`~osqp_solver_tpu.models.robot.RobotBall` at frame
+        ``link`` with both the scalar callables and the SoA batched
+        evaluator (same surface as ``ur5e.make_ball``)."""
+        from .robot import RobotBall
+
+        return RobotBall(
+            fk=self.fk(link),
+            jacobian=self.jacobian(link),
+            radius=radius,
+            is_gripper=is_gripper,
+            fk_jac_batched=partial(self.fk_jacobian_points, link=link),
+        )
+
+    # -- numeric IK (generic arms have no closed form) -----------------------
+
+    def position_ik(self, p, q0=None, link: int | None = None,
+                    iters: int = 64, damping: float = 1e-3,
+                    tol: float = 1e-6):
+        """Damped-least-squares position IK: find q with ``fk(q) ≈ p``.
+
+        Jit/vmap-friendly (``lax.fori_loop``, static shapes).  Returns
+        ``(q, converged)`` where ``converged`` is ``‖fk(q) − p‖ ≤ tol``.
+        For redundant arms (N > 3) DLS picks the minimum-norm step — the
+        standard resolution of the null space.  The reference has no IK
+        surface beyond the (never-called) UR5e ``gripper_ik``
+        (``gomp-solver.h:34,103``); this generalizes the capability the
+        external library provided for one arm to any DH arm.
+        """
+        p = jnp.asarray(p)
+        n = self.n_joints
+        q0 = jnp.zeros(n, p.dtype) if q0 is None else jnp.asarray(q0, p.dtype)
+        lam2 = jnp.asarray(damping ** 2, p.dtype)
+        eye3 = jnp.eye(3, dtype=p.dtype)
+
+        def body(_, q):
+            pt, J = self.fk_jacobian_points(q, link=link)
+            e = p - pt
+            # dq = Jᵀ (J Jᵀ + λ² I)⁻¹ e  (3×3 solve — cheap at any N)
+            JJt = J @ J.T + lam2 * eye3
+            dq = J.T @ jnp.linalg.solve(JJt, e)
+            return q + dq
+
+        q = jax.lax.fori_loop(0, iters, body, q0)
+        err = jnp.linalg.norm(self.fk(link)(q) - p)
+        return q, err <= tol
+
+
+def ik_checked(robot: DHRobot, p, q0=None, link: int | None = None, **kw):
+    """Host-side IK entry raising
+    :class:`~osqp_solver_tpu.utils.types.NoInverseKinematicSolution` when
+    DLS does not reach ``p`` — same contract as
+    ``ur5e.inverse_kinematics_checked`` for generic arms."""
+    from ..utils.types import NoInverseKinematicSolution
+
+    q, ok = robot.position_ik(p, q0=q0, link=link, **kw)
+    if not bool(ok):
+        raise NoInverseKinematicSolution(tuple(float(v) for v in jnp.asarray(p)))
+    return q
+
+
+# ---------------------------------------------------------------------------
+# Presets
+# ---------------------------------------------------------------------------
+
+_PI2 = math.pi / 2
+
+#: Universal Robots UR5e — identical table to ``models/ur5e.py`` (pinned by
+#: ``tests/test_dh_robot.py::test_ur5e_preset_matches_analytic_module``).
+UR5E = DHRobot(
+    a=(0.0, -0.425, -0.3922, 0.0, 0.0, 0.0),
+    d=(0.1625, 0.0, 0.0, 0.1333, 0.0997, 0.0996),
+    alpha=(_PI2, 0.0, 0.0, _PI2, -_PI2, 0.0),
+    name="ur5e",
+)
+
+#: Universal Robots UR10e (published classic DH values).
+UR10E = DHRobot(
+    a=(0.0, -0.6127, -0.57155, 0.0, 0.0, 0.0),
+    d=(0.1807, 0.0, 0.0, 0.17415, 0.11985, 0.11655),
+    alpha=(_PI2, 0.0, 0.0, _PI2, -_PI2, 0.0),
+    name="ur10e",
+)
+
+#: KUKA LBR iiwa 14 R820, classic-DH form — a 7-DOF redundant arm; used in
+#: tests to pin that the whole GOMP/ADMM stack is generic in the joint count.
+IIWA14 = DHRobot(
+    a=(0.0,) * 7,
+    d=(0.36, 0.0, 0.42, 0.0, 0.4, 0.0, 0.126),
+    alpha=(-_PI2, _PI2, _PI2, -_PI2, -_PI2, _PI2, 0.0),
+    name="iiwa14",
+)

@@ -1,0 +1,104 @@
+"""Generic DH robot model: FK/Jacobian parity, numeric IK, and the
+end-to-end proof that the GOMP/ADMM stack is generic in the joint count N
+(the reference is hard-wired to the 6-DOF UR5e via the external
+``Kinematics-UR5e-arm`` library — SURVEY.md §2.2)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from osqp_solver_tpu import constraints as C
+from osqp_solver_tpu.gomp.planner import GOMPSolver
+from osqp_solver_tpu.models import ur5e
+from osqp_solver_tpu.models.dh_robot import IIWA14, UR5E, UR10E, ik_checked
+
+# All tests are quick-tier except the 7-DOF planner end-to-end (compiles
+# ~10 horizon programs, ~45 s) — marked individually below.
+quick = pytest.mark.quick  # fast tier: see CLAUDE.md
+
+
+def _rand_q(key, n, batch=()):
+    return jax.random.uniform(key, batch + (n,), minval=-2.5, maxval=2.5)
+
+
+@quick
+def test_ur5e_preset_matches_analytic_module():
+    """The DH-table path reproduces models/ur5e.py exactly (same table,
+    same convention) for all three frames the example app uses."""
+    q = _rand_q(jax.random.PRNGKey(0), 6)
+    np.testing.assert_allclose(
+        UR5E.point_fk(q), ur5e.forward_kinematics(q), atol=1e-12)
+    np.testing.assert_allclose(
+        UR5E.point_fk(q, link=5), ur5e.forward_kinematics_6_back(q), atol=1e-12)
+    np.testing.assert_allclose(
+        UR5E.point_fk(q, link=2), ur5e.forward_kinematics_elbow_joint(q),
+        atol=1e-12)
+    np.testing.assert_allclose(
+        UR5E.jacobian()(q), ur5e.joint_jacobian(q), atol=1e-12)
+
+
+@quick
+@pytest.mark.parametrize("robot", [UR5E, UR10E, IIWA14], ids=lambda r: r.name)
+def test_soa_matches_matrix_path(robot):
+    """SoA batched FK + geometric Jacobian == jacfwd of the matrix FK, for
+    every frame, including 7-DOF and batched inputs."""
+    n = robot.n_joints
+    q = _rand_q(jax.random.PRNGKey(1), n, batch=(4, 3))
+    for link in (n, n - 1, 2):
+        pts, jac = robot.fk_jacobian_points(q, link=link)
+        assert pts.shape == (4, 3, 3) and jac.shape == (4, 3, 3, n)
+        ref_fk = jax.vmap(jax.vmap(robot.fk(link)))(q)
+        ref_jac = jax.vmap(jax.vmap(robot.jacobian(link)))(q)
+        np.testing.assert_allclose(pts, ref_fk, atol=1e-10)
+        np.testing.assert_allclose(jac, ref_jac, atol=1e-10)
+
+
+@quick
+@pytest.mark.parametrize("robot", [UR5E, IIWA14], ids=lambda r: r.name)
+def test_position_ik_round_trip(robot):
+    """DLS IK reaches an FK-generated (guaranteed-reachable) target; works
+    jitted; the redundant 7-DOF arm converges too."""
+    q_true = _rand_q(jax.random.PRNGKey(2), robot.n_joints) * 0.5
+    target = robot.point_fk(q_true)
+    q0 = q_true + 0.3
+    q, ok = jax.jit(lambda p, q0: robot.position_ik(p, q0))(target, q0)
+    assert bool(ok)
+    np.testing.assert_allclose(robot.point_fk(q), target, atol=1e-6)
+
+
+@quick
+def test_ik_checked_raises_out_of_reach():
+    from osqp_solver_tpu.utils.types import NoInverseKinematicSolution
+
+    with pytest.raises(NoInverseKinematicSolution):
+        ik_checked(UR5E, jnp.array([5.0, 0.0, 0.0]))  # ~0.9 m reach
+
+
+def test_planner_end_to_end_7dof():
+    """Full GOMP planning (SCP + workspace ball + horizon shrinking) with a
+    7-DOF arm: the constraint builder, layout, session, and ADMM core are
+    generic in N (block size 2N=14), not UR5e/6-DOF-specific."""
+    robot = IIWA14
+    n = robot.n_joints
+    ball = robot.make_ball(radius=0.05, is_gripper=True)
+    solver = GOMPSolver(
+        max_waypoints=12,
+        time_step=0.1,
+        pos_con=C.in_range(n, -3.2, 3.2),
+        vel_con=C.in_range(n, -8.0, 8.0),
+        acc_con=C.in_range(n, -20.0, 20.0),
+        con_3d=C.in_range(3, -2.0, 2.0),
+        obstacles=[],
+        balls=[ball],
+    )
+    start = np.zeros(n)
+    end = np.full(n, 0.4)
+    res = solver.run(start, end)
+    assert res.status.name == "kOptimal"
+    W = res.trajectory.size // (2 * n)
+    q = res.trajectory[: W * n].reshape(W, n)
+    np.testing.assert_allclose(q[0], start, atol=1e-2)
+    np.testing.assert_allclose(q[W - 3], end, atol=1e-2)  # W-3 quirk
+    # The workspace constraint was really enforced on the real kinematics.
+    pts, _ = robot.fk_jacobian_points(jnp.asarray(q))
+    assert float(jnp.max(jnp.abs(pts))) <= 2.0 + 1e-2
