@@ -74,6 +74,29 @@ def test_ik_checked_raises_out_of_reach():
         ik_checked(UR5E, jnp.array([5.0, 0.0, 0.0]))  # ~0.9 m reach
 
 
+def test_lane_planner_batched_7dof():
+    """The batched lane-major HOT path (fused-driver `run_batch_lane`, block
+    size 2N=14) is generic in N as well — not just the session path."""
+    robot = IIWA14
+    n = robot.n_joints
+    solver = GOMPSolver(
+        max_waypoints=12,
+        time_step=0.1,
+        pos_con=C.in_range(n, -3.2, 3.2),
+        vel_con=C.in_range(n, -8.0, 8.0),
+        acc_con=C.in_range(n, -20.0, 20.0),
+        con_3d=C.in_range(3, -2.0, 2.0),
+        obstacles=[],
+        balls=[robot.make_ball(radius=0.05, is_gripper=True)],
+    )
+    starts = np.zeros((4, n))
+    ends = np.tile(np.linspace(0.2, 0.5, 4)[:, None], (1, n))
+    statuses, trajs, _ = solver.run_batch_lane(starts, ends, waypoints=10)
+    assert all(int(s) == 0 for s in statuses)  # kOptimal
+    q_end = np.asarray(trajs)[:, : 10 * n].reshape(4, 10, n)[:, 10 - 3]
+    np.testing.assert_allclose(q_end, ends, atol=1e-2)  # W-3 quirk
+
+
 def test_planner_end_to_end_7dof():
     """Full GOMP planning (SCP + workspace ball + horizon shrinking) with a
     7-DOF arm: the constraint builder, layout, session, and ADMM core are
