@@ -39,6 +39,11 @@ def main():
     ap.add_argument("--ct", type=int, default=None)
     ap.add_argument("--ari", type=int, default=None)
     ap.add_argument("--scaling", type=int, default=None)
+    ap.add_argument(
+        "--robot", choices=("ur5e", "ur10e", "iiwa14"), default="ur5e",
+        help="arm model: the reference's UR5e (analytic module) or a "
+        "generic-DH preset (models/dh_robot.py) — iiwa14 is 7-DOF",
+    )
     args = ap.parse_args()
 
     import os
@@ -65,13 +70,24 @@ def main():
     dev = jax.devices()[0]
     log(f"device: {dev} platform={dev.platform}")
     dtype = jnp.float32
-    B, W, N = args.batch, args.waypoints, 6
     INF = 1e30
 
-    balls = [
-        ur5e.make_ball("back6", 0.15),
-        ur5e.make_ball("tool", 0.05, is_gripper=True),
-    ]
+    if args.robot == "ur5e":
+        N = 6
+        balls = [
+            ur5e.make_ball("back6", 0.15),
+            ur5e.make_ball("tool", 0.05, is_gripper=True),
+        ]
+    else:
+        from osqp_solver_tpu.models import dh_robot
+
+        robot = {"ur10e": dh_robot.UR10E, "iiwa14": dh_robot.IIWA14}[args.robot]
+        N = robot.n_joints
+        balls = [
+            robot.make_ball(link=N - 1, radius=0.15),
+            robot.make_ball(radius=0.05, is_gripper=True),
+        ]
+    B, W = args.batch, args.waypoints
     import dataclasses
 
     from osqp_solver_tpu.ops.admm import Settings
@@ -104,9 +120,9 @@ def main():
 
     rng = np.random.default_rng(0)
     starts = 0.02 * rng.standard_normal((B, N))
-    ends = np.tile(
-        np.array([np.pi, 0, 0, 0, 0, 0]), (B, 1)
-    ) + 0.02 * rng.standard_normal((B, N))
+    end0 = np.zeros(N)
+    end0[0] = np.pi
+    ends = np.tile(end0, (B, 1)) + 0.02 * rng.standard_normal((B, N))
 
     def sync(a):
         return float(jnp.sum(a))
@@ -139,7 +155,10 @@ def main():
             "batch": B,
         }
 
-    print(json.dumps({"metric": "gomp_planner_queries_per_sec", **results}))
+    print(json.dumps(
+        {"metric": "gomp_planner_queries_per_sec", "robot": args.robot,
+         **results}
+    ))
 
 
 if __name__ == "__main__":
