@@ -126,5 +126,8 @@ def sub():
     timed("build_residual_packs", lambda s: build_residual_packs(s, scaling)[0], scaled)
 
 
-if __name__ == "__main__" and len(sys.argv) > 1 and sys.argv[1] == "sub":
-    sub()
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "sub":
+        sub()
+    else:
+        main()

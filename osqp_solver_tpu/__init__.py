@@ -14,7 +14,8 @@ Layer map (SURVEY.md §1, re-designed TPU-first):
     gomp/      constraint DSL, line-obstacle geometry, static row layout,
                dense builder (test path), structured TrajectoryQP (hot path),
                SCP + time-scaling planner
-    models/    UR5e analytical FK / Jacobians / closed-form IK, RobotBall
+    models/    UR5e analytical FK / Jacobians / closed-form IK, RobotBall,
+               generic classic-DH arms (any DOF) + numeric DLS IK
     parallel/  device meshes, batch-sharded solves, Schur horizon partition
     utils/     native C++ oracle bridge, observability (stats, tracing)
 """
