@@ -67,6 +67,19 @@ def test_position_ik_round_trip(robot):
 
 
 @quick
+def test_position_ik_vmap_batch():
+    """DLS IK is vmappable — a fleet of targets solved in one program."""
+    robot = IIWA14
+    q_true = _rand_q(jax.random.PRNGKey(5), robot.n_joints, batch=(16,)) * 0.4
+    targets = robot.fk_jacobian_points(q_true)[0]
+    qs, oks = jax.vmap(lambda p, q0: robot.position_ik(p, q0))(
+        targets, q_true + 0.2)
+    assert bool(jnp.all(oks))
+    pts = robot.fk_jacobian_points(qs)[0]
+    np.testing.assert_allclose(pts, targets, atol=1e-6)
+
+
+@quick
 def test_ik_checked_raises_out_of_reach():
     from osqp_solver_tpu.utils.types import NoInverseKinematicSolution
 
