@@ -33,6 +33,7 @@ run mpc_fleet python benchmarks/mpc_fleet.py
 run mpc_fleet_ct2 python benchmarks/mpc_fleet.py --ct 2
 run planner python benchmarks/planner_batch.py --batch 1024 --skip-vmap --rho 0.05 --ct 13 --ari 39
 run planner_tuned python benchmarks/planner_batch.py --batch 1024 --skip-vmap --rho 0.04 --ct 3 --ari 45 --scaling 3
+run planner_iiwa14 python benchmarks/planner_batch.py --batch 1024 --skip-vmap --rho 0.04 --ct 3 --scaling 3 --robot iiwa14
 run planner_round_profile python benchmarks/profile_planner_round.py
 # w802: batch 512 is the measured knee; --adapt-interval defaults to 60
 # (deferred past the 30-iter tail — the old 3*ct=9 fired mid-solve and cost
