@@ -49,7 +49,10 @@ def main() -> int:
     q_start = np.zeros(n)
     goal_xyz = np.asarray(robot.point_fk(np.full(n, 0.5)))
     q_end, ok = robot.position_ik(goal_xyz, q0=np.full(n, 0.3))
-    assert bool(ok), "IK did not converge"
+    if not bool(ok):  # explicit (a bare assert vanishes under `python -O`)
+        print("error: IK did not converge on the Cartesian goal",
+              file=sys.stderr)
+        return 1
     print(f"goal xyz: {goal_xyz.round(3)} -> q_end: "
           f"{np.asarray(q_end).round(3)}")
 

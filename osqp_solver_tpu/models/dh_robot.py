@@ -150,6 +150,15 @@ class DHRobot:
         ``J[:, i] = z_i × (p_link − p_i)``, identical to jacfwd of the
         matrix path (pinned by ``tests/test_dh_robot.py``).
         """
+        points, jac, _, _ = self._fk_soa(q, link)
+        return points, jac
+
+    def _fk_soa(self, q, link: int | None = None):
+        """Shared SoA FK walk: ``(points, Jp, R, Jw)`` for frame ``link``.
+
+        ``R`` is the frame's rotation (..., 3, 3); ``Jw`` the angular
+        geometric Jacobian whose column i is the joint axis ``z_i`` in the
+        base frame (``ω = Jw·q̇``); columns i ≥ link are zero."""
         q = jnp.asarray(q)
         n = self.n_joints
         link = n if link is None else int(link)
@@ -180,7 +189,37 @@ class DHRobot:
              for ax in range(3)],
             axis=-2,
         )
-        return points, jac
+        rot = jnp.stack(
+            [jnp.stack(R[r], axis=-1) for r in range(3)], axis=-2
+        )
+        jac_w = jnp.stack(
+            [
+                jnp.stack(
+                    [axes[i][ax] if i < link else zero for i in range(n)],
+                    axis=-1,
+                )
+                for ax in range(3)
+            ],
+            axis=-2,
+        )
+        return points, jac, rot, jac_w
+
+    def fk_pose_jacobian(self, q, link: int | None = None):
+        """Batched full-pose FK: ``(point (...,3), R (...,3,3),
+        Jp (...,3,N), Jw (...,3,N))`` — the 6-D task-space surface behind
+        :meth:`pose_ik` (capability anchor: the reference imports pose IK
+        from the external UR5e library, ``examples/solver-example.cpp:53``).
+        """
+        points, jac, rot, jac_w = self._fk_soa(q, link)
+        return points, rot, jac, jac_w
+
+    def pose_fk(self, q, link: int | None = None):
+        """``(point (3,), R (3,3))`` of frame ``link`` (matrix path)."""
+        link = self.n_joints if link is None else int(link)
+        T = jnp.eye(4, dtype=jnp.asarray(q).dtype)
+        for i in range(link):
+            T = T @ self.link_transform(i, q[i])
+        return T[:3, 3], T[:3, :3]
 
     def make_ball(self, link: int | None = None, radius: float = 0.05,
                   is_gripper: bool = False):
@@ -199,20 +238,30 @@ class DHRobot:
 
     # -- numeric IK (generic arms have no closed form) -----------------------
 
+    @staticmethod
+    def _default_tol(dtype) -> float:
+        """Dtype-aware convergence tolerance: 1e-6 is below f32 FK noise
+        (ADVICE r3), so f32 callers get 1e-4 unless they pass their own."""
+        return 1e-6 if jnp.dtype(dtype) == jnp.float64 else 1e-4
+
     def position_ik(self, p, q0=None, link: int | None = None,
                     iters: int = 64, damping: float = 1e-3,
-                    tol: float = 1e-6):
+                    tol: float | None = None):
         """Damped-least-squares position IK: find q with ``fk(q) ≈ p``.
 
         Jit/vmap-friendly (``lax.fori_loop``, static shapes).  Returns
-        ``(q, converged)`` where ``converged`` is ``‖fk(q) − p‖ ≤ tol``.
-        For redundant arms (N > 3) DLS picks the minimum-norm step — the
-        standard resolution of the null space.  The reference has no IK
-        surface beyond the (never-called) UR5e ``gripper_ik``
+        ``(q, converged)`` where ``converged`` is ``‖fk(q) − p‖ ≤ tol``
+        (``tol`` defaults per dtype: 1e-6 f64, 1e-4 f32).  For redundant
+        arms (N > 3) DLS picks the minimum-norm step — the standard
+        resolution of the null space.  The reference has no IK surface
+        beyond the (never-called) UR5e ``gripper_ik``
         (``gomp-solver.h:34,103``); this generalizes the capability the
         external library provided for one arm to any DH arm.
         """
         p = jnp.asarray(p)
+        p = p.astype(jnp.result_type(float, p.dtype))  # int targets just work
+        if tol is None:
+            tol = self._default_tol(p.dtype)
         n = self.n_joints
         q0 = jnp.zeros(n, p.dtype) if q0 is None else jnp.asarray(q0, p.dtype)
         lam2 = jnp.asarray(damping ** 2, p.dtype)
@@ -230,15 +279,71 @@ class DHRobot:
         err = jnp.linalg.norm(self.fk(link)(q) - p)
         return q, err <= tol
 
+    def pose_ik(self, p, rot, q0=None, link: int | None = None,
+                iters: int = 96, damping: float = 1e-3,
+                tol: float | None = None, tol_rot: float | None = None):
+        """Damped-least-squares full-pose IK: ``fk(q) ≈ p`` AND the frame's
+        rotation ≈ ``rot`` (3×3).
 
-def ik_checked(robot: DHRobot, p, q0=None, link: int | None = None, **kw):
+        6-D task error ``[p − p(q); e_o]`` with the standard column-cross
+        orientation error ``e_o = ½ Σᵢ R(q)[:,i] × rot[:,i]`` (smooth,
+        vanishes exactly at alignment); step ``dq = Jᵀ(JJᵀ + λ²I₆)⁻¹ e``
+        on the stacked geometric Jacobian ``J = [Jp; Jw]``.  Returns
+        ``(q, converged)``; convergence is position error ≤ ``tol`` and
+        relative-rotation angle ≤ ``tol_rot`` (radians; defaults per dtype).
+        Note the column-cross error also vanishes at the antipode (θ = π
+        about any axis) — seed ``q0`` within a half-turn of the target, as
+        with any local IK.  Capability anchor: the reference's pose IK
+        import, ``examples/solver-example.cpp:53``.
+        """
+        p = jnp.asarray(p)
+        p = p.astype(jnp.result_type(float, p.dtype))
+        rot = jnp.asarray(rot, p.dtype)
+        if tol is None:
+            tol = self._default_tol(p.dtype)
+        if tol_rot is None:
+            tol_rot = 1e-6 if p.dtype == jnp.float64 else 1e-3
+        n = self.n_joints
+        q0 = jnp.zeros(n, p.dtype) if q0 is None else jnp.asarray(q0, p.dtype)
+        lam2 = jnp.asarray(damping ** 2, p.dtype)
+        eye6 = jnp.eye(6, dtype=p.dtype)
+
+        def orient_err(R):
+            # ½ Σ columns R[:,i] × rot[:,i]
+            return 0.5 * sum(
+                jnp.cross(R[:, i], rot[:, i]) for i in range(3)
+            )
+
+        def body(_, q):
+            pt, R, Jp, Jw = self.fk_pose_jacobian(q, link=link)
+            e = jnp.concatenate([p - pt, orient_err(R)])
+            J = jnp.concatenate([Jp, Jw], axis=0)  # (6, N)
+            JJt = J @ J.T + lam2 * eye6
+            dq = J.T @ jnp.linalg.solve(JJt, e)
+            return q + dq
+
+        q = jax.lax.fori_loop(0, iters, body, q0)
+        pt, R = self.pose_fk(q, link=link)
+        pos_err = jnp.linalg.norm(pt - p)
+        # relative-rotation angle from the trace of rotᵀR
+        c = jnp.clip((jnp.trace(rot.T @ R) - 1.0) / 2.0, -1.0, 1.0)
+        ang_err = jnp.arccos(c)
+        return q, (pos_err <= tol) & (ang_err <= tol_rot)
+
+
+def ik_checked(robot: DHRobot, p, rot=None, q0=None, link: int | None = None,
+               **kw):
     """Host-side IK entry raising
     :class:`~osqp_solver_tpu.utils.types.NoInverseKinematicSolution` when
-    DLS does not reach ``p`` — same contract as
-    ``ur5e.inverse_kinematics_checked`` for generic arms."""
+    DLS does not reach ``p`` (and, when ``rot`` is given, the target
+    orientation) — same contract as ``ur5e.inverse_kinematics_checked``
+    for generic arms."""
     from ..utils.types import NoInverseKinematicSolution
 
-    q, ok = robot.position_ik(p, q0=q0, link=link, **kw)
+    if rot is None:
+        q, ok = robot.position_ik(p, q0=q0, link=link, **kw)
+    else:
+        q, ok = robot.pose_ik(p, rot, q0=q0, link=link, **kw)
     if not bool(ok):
         raise NoInverseKinematicSolution(tuple(float(v) for v in jnp.asarray(p)))
     return q
@@ -250,12 +355,15 @@ def ik_checked(robot: DHRobot, p, q0=None, link: int | None = None, **kw):
 
 _PI2 = math.pi / 2
 
-#: Universal Robots UR5e — identical table to ``models/ur5e.py`` (pinned by
+from . import ur5e as _ur5e  # noqa: E402  (presets only)
+
+#: Universal Robots UR5e — built FROM the analytic module's DH constants so
+#: there is exactly one source of truth (ADVICE r3; still pinned by
 #: ``tests/test_dh_robot.py::test_ur5e_preset_matches_analytic_module``).
 UR5E = DHRobot(
-    a=(0.0, -0.425, -0.3922, 0.0, 0.0, 0.0),
-    d=(0.1625, 0.0, 0.0, 0.1333, 0.0997, 0.0996),
-    alpha=(_PI2, 0.0, 0.0, _PI2, -_PI2, 0.0),
+    a=(0.0, _ur5e.A2, _ur5e.A3, 0.0, 0.0, 0.0),
+    d=(_ur5e.D1, 0.0, 0.0, _ur5e.D4, _ur5e.D5, _ur5e.D6),
+    alpha=tuple(float(x) for x in _ur5e.ALPHA),
     name="ur5e",
 )
 

@@ -87,6 +87,87 @@ def test_ik_checked_raises_out_of_reach():
         ik_checked(UR5E, jnp.array([5.0, 0.0, 0.0]))  # ~0.9 m reach
 
 
+@quick
+def test_position_ik_integer_target_coerced():
+    """An integer target array must not poison the loop carry dtype
+    (ADVICE r3): IK on an int target just works."""
+    robot = IIWA14
+    q, ok = robot.position_ik(jnp.array([0, 0, 1]), q0=jnp.full(7, 0.3))
+    assert jnp.issubdtype(q.dtype, jnp.floating)
+    assert bool(ok)
+    pt = robot.point_fk(q.astype(jnp.float64))
+    np.testing.assert_allclose(pt, [0.0, 0.0, 1.0], atol=1e-5)
+
+
+@quick
+def test_position_ik_f32_default_tol():
+    """The default tolerance is dtype-aware (ADVICE r3): a converged f32
+    solve reports converged=True instead of tripping on f32 FK noise."""
+    robot = UR10E
+    q_true = (_rand_q(jax.random.PRNGKey(7), 6) * 0.5).astype(jnp.float32)
+    target = robot.fk_jacobian_points(q_true)[0]
+    assert target.dtype == jnp.float32
+    q, ok = robot.position_ik(target, q0=q_true + 0.2)
+    assert bool(ok)
+
+
+@quick
+@pytest.mark.parametrize("robot", [UR10E, IIWA14], ids=lambda r: r.name)
+def test_pose_ik_round_trip(robot):
+    """Full-pose DLS IK reaches an FK-generated (position, orientation)
+    target — the orientation-constrained-grasp capability the reference
+    imports from the UR5e library (solver-example.cpp:53), for ANY arm."""
+    n = robot.n_joints
+    q_true = _rand_q(jax.random.PRNGKey(3), n) * 0.5
+    p_t, R_t = robot.pose_fk(q_true)
+    q, ok = jax.jit(lambda p, R, q0: robot.pose_ik(p, R, q0=q0))(
+        p_t, R_t, q_true + 0.2)
+    assert bool(ok)
+    p, R = robot.pose_fk(q)
+    np.testing.assert_allclose(p, p_t, atol=1e-6)
+    np.testing.assert_allclose(R, R_t, atol=1e-6)
+    # For the redundant arm the solution may differ from q_true — only the
+    # pose is pinned; for 6-DOF it should be the same branch (local IK).
+    if n == 6:
+        np.testing.assert_allclose(q, q_true, atol=1e-4)
+
+
+@quick
+def test_pose_jacobian_matches_frames():
+    """fk_pose_jacobian's R equals the matrix path's rotation and Jw's
+    column i is the joint axis z_i in the base frame."""
+    robot = IIWA14
+    n = robot.n_joints
+    q = _rand_q(jax.random.PRNGKey(4), n)
+    pt, R, Jp, Jw = robot.fk_pose_jacobian(q)
+    frames = robot.frames(q)
+    np.testing.assert_allclose(R, frames[n][:3, :3], atol=1e-12)
+    np.testing.assert_allclose(pt, frames[n][:3, 3], atol=1e-12)
+    for i in range(n):
+        np.testing.assert_allclose(Jw[:, i], frames[i][:3, 2], atol=1e-12)
+    # Jp agrees with the position-only surface.
+    np.testing.assert_allclose(
+        Jp, robot.fk_jacobian_points(q)[1], atol=1e-12)
+
+
+@quick
+def test_pose_ik_checked_dispatch():
+    """ik_checked(rot=...) routes to pose IK and raises on an unreachable
+    orientation at a reachable point."""
+    from osqp_solver_tpu.utils.types import NoInverseKinematicSolution
+
+    robot = UR10E
+    q_true = _rand_q(jax.random.PRNGKey(6), 6) * 0.4
+    p_t, R_t = robot.pose_fk(q_true)
+    q = ik_checked(robot, p_t, rot=R_t, q0=q_true + 0.1)
+    p, R = robot.pose_fk(q)
+    np.testing.assert_allclose(p, p_t, atol=1e-6)
+    np.testing.assert_allclose(R, R_t, atol=1e-6)
+    with pytest.raises(NoInverseKinematicSolution):
+        # target far outside the workspace cannot satisfy the pose
+        ik_checked(robot, jnp.array([9.0, 0.0, 0.0]), rot=R_t, q0=q_true)
+
+
 def test_lane_planner_batched_7dof():
     """The batched lane-major HOT path (fused-driver `run_batch_lane`, block
     size 2N=14) is generic in N as well — not just the session path."""
