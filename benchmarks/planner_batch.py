@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--waypoints", type=int, default=50)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--skip-vmap", action="store_true")
+    ap.add_argument(
+        "--full", action="store_true",
+        help="measure run_batch_padded: the reference's FULL run(start,end) "
+        "semantics — the --segments-step horizon-shrinking search per query "
+        "(gomp-solver.h:38-55) — instead of one fixed-horizon SCP plan",
+    )
+    ap.add_argument("--segments", type=int, default=10)
     ap.add_argument("--rho", type=float, default=None)
     ap.add_argument("--ct", type=int, default=None)
     ap.add_argument("--ari", type=int, default=None)
@@ -115,6 +122,7 @@ def main():
         ),
         obstacles=[],
         balls=balls,
+        segments=args.segments,
         dtype=dtype,
     )
 
@@ -128,12 +136,20 @@ def main():
         return float(jnp.sum(a))
 
     results = {}
-    paths = [("lane", solver.run_batch_lane)]
-    if not args.skip_vmap:
-        paths.append(("vmap", solver.run_batch))
+    if args.full:
+        paths = [("padded_full", solver.run_batch_padded)]
+    else:
+        paths = [("lane", solver.run_batch_lane)]
+        if not args.skip_vmap:
+            paths.append(("vmap", solver.run_batch))
     for name, fn in paths:
+        if args.full:
+            call = lambda: fn(starts, ends)
+        else:
+            call = lambda: fn(starts, ends, waypoints=W)
         t0 = time.time()
-        st, tr, it = fn(starts, ends, waypoints=W)
+        out = call()
+        st, tr, it = out[0], out[1], out[-1]
         sync(tr)
         log(f"[{name}] compile+first: {time.time()-t0:.1f}s")
         n_opt = int(np.sum(np.asarray(st) == 0))
@@ -141,11 +157,19 @@ def main():
             f"[{name}] optimal {n_opt}/{B}, scp iters p50="
             f"{int(np.median(it))} max={int(np.max(it))}"
         )
+        if args.full:
+            horizons = np.asarray(out[2])
+            log(
+                f"[{name}] winning horizon p50={int(np.median(horizons))} "
+                f"min={int(np.min(horizons))} max={int(np.max(horizons))} "
+                f"(segments={args.segments}, W_max={W})"
+            )
+            results["horizon_p50"] = int(np.median(horizons))
         # Dispatch all reps, sync only the last — per-rep readbacks cost a
         # ~25 ms tunnel round-trip each and floor the measurement (in-order
         # execution makes the final sync a barrier on all reps).
         t0 = time.time()
-        outs = [fn(starts, ends, waypoints=W) for _ in range(args.reps)]
+        outs = [call() for _ in range(args.reps)]
         sync(outs[-1][1])
         dt = (time.time() - t0) / args.reps
         log(f"[{name}] {dt*1e3:.1f} ms/batch -> {n_opt/dt:.0f} queries/s")
@@ -156,7 +180,11 @@ def main():
         }
 
     print(json.dumps(
-        {"metric": "gomp_planner_queries_per_sec", "robot": args.robot,
+        {"metric": (
+            "gomp_planner_full_timescaling_queries_per_sec" if args.full
+            else "gomp_planner_queries_per_sec"
+         ),
+         "robot": args.robot, "segments": args.segments if args.full else 1,
          **results}
     ))
 

@@ -594,6 +594,232 @@ class GOMPSolver:
             jnp.asarray(starts, self.dtype), jnp.asarray(ends, self.dtype)
         )
 
+    def run_batch_padded(self, starts, ends, max_scp: Optional[int] = None):
+        """Batched FULL time-scaling planner — the reference's flagship
+        ``run(start, end)`` semantics (``gomp-solver.h:38-55``: 10-segment
+        horizon-shrinking search, warm-start slicing quirk included) vmapped
+        over (start, end) queries inside ONE compiled device program.
+
+        Per segment the whole batch runs one masked SCP loop on the
+        lane-major fused driver at the segment's traced horizon ``wa``
+        inside the ``W_max``-padded containers; per-query survival is
+        masked — a query keeps its best feasible solution (``kOptimal`` at
+        the shortest feasible horizon so far) while the batch descends
+        segments, stops descending on a ``kOptimalInaccurate`` segment
+        (the reference breaks on any code other than optimal/unknown),
+        and keeps descending through infeasible segments (``kUnknown``).
+
+        Returns ``(statuses, trajectories, horizons, scp_rounds)``:
+        statuses ``(B,)`` ExitCode ints (kOptimal iff some segment passed
+        the exact-FK check); trajectories ``(B, 2·W_max·N)`` in PADDED
+        layout — positions ``[0, w·N)`` of the first half and velocities
+        ``[0, w·N)`` of the second half are live, where ``w`` is the
+        per-query winning horizon in ``horizons`` — with velocities
+        dt-unscaled (``gomp-solver.h:53``); ``scp_rounds`` ``(B,)`` total
+        SCP re-linearizations across all segments.
+        """
+        from ..ops.admm_lane import solve_batched_lane
+        from .trajectory import calc_warm_start_masked
+        from .trajectory_qp import with_gomp_boxes_masked, with_horizon_mask
+        from .trajectory_qp_lane import from_trailing
+
+        W, N = self.max_waypoints, self.n_dim
+        max_scp = self.max_scp_iterations if max_scp is None else int(max_scp)
+        balls, obstacles = self.balls, self.obstacles
+        con3d = (
+            jnp.asarray(self.con_3d.lower, self.dtype),
+            jnp.asarray(self.con_3d.upper, self.dtype),
+        )
+        settings = admm_mod.with_auto_refine(self.settings, W, self.dtype)
+        boxes = tuple(
+            (jnp.asarray(c.lower, self.dtype), jnp.asarray(c.upper, self.dtype))
+            for c in (self.pos_con, self.vel_con, self.acc_con)
+        )
+        is_ok1 = self._is_solution_ok_masked_fn(W)
+        segments = self.segments
+        WN = W * N
+
+        def build_one(start, end, warm, wa):
+            qp = empty_trajectory_qp(
+                W, N, [b.is_gripper for b in balls], len(obstacles), self.dtype
+            )
+            qp = with_horizon_mask(qp, wa)
+            qp = with_gomp_boxes_masked(qp, start, end, *boxes, wa)
+            return linearize_workspace(
+                qp, balls, obstacles, con3d, warm, w_active=wa
+            )
+
+        def slice_warm_one(sol, w_prev, wa):
+            """Reference warm-slicing quirk (``gomp-solver.h:43-44``) with
+            traced ``w_prev``/``wa`` in padded layout: the first two
+            ``wa·N`` windows of the previous COMPACT solution."""
+            q, v = sol[:WN], sol[WN:]
+            pn = w_prev * N
+            wn = wa * N
+            j = jnp.arange(WN)
+
+            def compact_at(idx):
+                from_q = idx < pn
+                qi = jnp.clip(idx, 0, WN - 1)
+                vi = jnp.clip(idx - pn, 0, WN - 1)
+                return jnp.where(from_q, q[qi], v[vi])
+
+            out_q = jnp.where(j < wn, compact_at(j), 0.0)
+            out_v = jnp.where(j < wn, compact_at(wn + j), 0.0)
+            return jnp.concatenate([out_q, out_v])
+
+        def plan_batch(starts, ends):
+            B = starts.shape[0]
+            warm0 = jax.vmap(
+                lambda s, e: calc_warm_start_masked(s, e, W, W)
+            )(starts, ends)  # (B, 2WN)
+            last_sol = warm0
+            last_w = jnp.full((B,), W, jnp.int32)
+            last_code = jnp.full((B,), ExitCode.kUnknown, jnp.int32)
+            alive = jnp.ones((B,), bool)
+            total_scp = jnp.zeros((B,), jnp.int32)
+
+            # Row count of the lane layout (for the dual warm start).
+            qp_probe = jax.vmap(
+                build_one, in_axes=(0, 0, 0, None), out_axes=-1
+            )(starts, ends, warm0, jnp.asarray(W, jnp.int32))
+            m = from_trailing(qp_probe, row_layout="waypoint").l.shape[0]
+
+            lin_b = jax.vmap(
+                lambda qp, xi, wa: linearize_workspace(
+                    qp, balls, obstacles, con3d, xi, w_active=wa
+                ),
+                in_axes=(-1, -1, None),
+                out_axes=-1,
+            )
+            ok_b = jax.vmap(is_ok1, in_axes=(-1, None))
+
+            def scp_segment(warm, run_mask, wa):
+                """One masked SCP loop at traced horizon ``wa`` — the
+                batched ``run_horizon_padded``.  Returns (x (2WN, B),
+                ok, solver_status, rounds)."""
+                qp_t = jax.vmap(
+                    build_one, in_axes=(0, 0, 0, None), out_axes=-1
+                )(starts, ends, warm, wa)
+                x0 = warm.T  # (2WN, B)
+                y0 = jnp.zeros((m, B), x0.dtype)
+                status0 = jnp.full((B,), ExitCode.kUnknown, jnp.int32)
+                ok0 = jnp.zeros((B,), bool)
+                done0 = ~run_mask
+                k0 = jnp.zeros((B,), jnp.int32)
+
+                def cond(carry):
+                    _, _, _, _, _, done, k = carry
+                    return jnp.any(~done) & (jnp.max(k) < max_scp)
+
+                def body(carry):
+                    qp_t, x, y, status, ok, done, k = carry
+                    lane = from_trailing(qp_t, row_layout="waypoint")
+                    res = solve_batched_lane(
+                        lane, settings, warm_x=x.T, warm_y=y.T
+                    )
+                    xs = jnp.where(done, x, res.x.T)
+                    y = jnp.where(done, y, res.y.T)
+                    status = jnp.where(done, status, res.status).astype(
+                        jnp.int32
+                    )
+                    ok = jnp.where(done, ok, ok_b(xs, wa))
+                    solvable = (status == ExitCode.kOptimal) | (
+                        status == ExitCode.kOptimalInaccurate
+                    )
+                    k = k + jnp.where(done, 0, 1).astype(jnp.int32)
+                    done = done | ok | ~solvable
+                    qp_t = lin_b(qp_t, xs, wa)
+                    return qp_t, xs, y, status, ok, done, k
+
+                _, x, _, status, ok, _, k = jax.lax.while_loop(
+                    cond, body, (qp_t, x0, y0, status0, ok0, done0, k0)
+                )
+                return x, ok, status, k
+
+            def seg_body(i, carry):
+                last_sol, last_w, last_code, alive, total_scp = carry
+                seg = segments - i
+                wa = jnp.asarray(W * seg // segments, jnp.int32)
+                run_mask = alive & (wa >= 4)
+                warm = jax.vmap(slice_warm_one, in_axes=(0, 0, None))(
+                    last_sol, last_w, wa
+                )
+                x, ok, status, k = scp_segment(warm, run_mask, wa)
+                total_scp = total_scp + jnp.where(run_mask, k, 0)
+                # Segment outcome (run_horizon semantics): kOptimal /
+                # kOptimalInaccurate only when the exact-FK check passed;
+                # anything else degrades to kUnknown.
+                accepted = run_mask & ok
+                improved = accepted & (status == ExitCode.kOptimal)
+                inaccurate = accepted & (
+                    status == ExitCode.kOptimalInaccurate
+                )
+                # Outer-loop break (gomp-solver.h:46-47): only a code other
+                # than kOptimal/kUnknown stops the descent.
+                alive = alive & ~inaccurate
+                last_code = jnp.where(
+                    improved, jnp.int32(ExitCode.kOptimal), last_code
+                )
+                last_sol = jnp.where(improved[:, None], x.T, last_sol)
+                last_w = jnp.where(improved, wa, last_w)
+                return last_sol, last_w, last_code, alive, total_scp
+
+            last_sol, last_w, last_code, alive, total_scp = jax.lax.fori_loop(
+                0, segments, seg_body,
+                (last_sol, last_w, last_code, alive, total_scp),
+            )
+            # Unscale the live velocity window (gomp-solver.h:53); the
+            # padded tail is zeros either way.
+            q, v = last_sol[:, :WN], last_sol[:, WN:]
+            out = jnp.concatenate([q, v / self.time_step], axis=1)
+            return last_code, out, last_w, total_scp
+
+        key = ("batch_padded", max_scp)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(plan_batch)
+        return self._compiled[key](
+            jnp.asarray(starts, self.dtype), jnp.asarray(ends, self.dtype)
+        )
+
+    def _is_solution_ok_masked_fn(self, W):
+        """Masked-horizon exact-FK feasibility (``gomp-solver.h:141-199``)
+        with the SoA ball evaluator where available: ``is_ok(x, wa)``."""
+        N = self.n_dim
+        con3d = (
+            jnp.asarray(self.con_3d.lower, self.dtype),
+            jnp.asarray(self.con_3d.upper, self.dtype),
+        )
+
+        def is_ok(x, wa):
+            act = jnp.arange(W) < wa
+            q = x[: W * N].reshape(W, N)
+            ok = jnp.array(True)
+            for ball in self.balls:
+                if getattr(ball, "fk_jac_batched", None) is not None:
+                    pts = jnp.asarray(ball.fk_jac_batched(q)[0], self.dtype)
+                else:
+                    pts = jax.vmap(
+                        lambda s: jnp.asarray(ball.fk(s), self.dtype)
+                    )(q)
+                r = ball.radius
+                if ball.is_gripper:
+                    ok &= jnp.all(jnp.where(
+                        act[:, None], con3d[0][None, :] - ERROR <= pts - r,
+                        True,
+                    ))
+                    ok &= jnp.all(jnp.where(
+                        act[:, None], pts + r <= con3d[1][None, :] + ERROR,
+                        True,
+                    ))
+                for line in self.obstacles:
+                    coll = line.has_collision(pts, r)
+                    above = line.is_above(pts, r)
+                    ok &= jnp.all(jnp.where(act, ~coll | above, True))
+            return ok
+
+        return is_ok
+
     def _build_session(self, start, end, warm, W, settings=None):
         """Traceable session construction for one problem at horizon W."""
         if settings is None:
