@@ -120,6 +120,34 @@ class Settings:
     anderson: int = 0
     anderson_reg: float = 1e-8
     anderson_safeguard: float = 1.5
+    # Reduced-precision KKT-factor STREAM format (lane driver).  The factor
+    # is the dominant HBM stream of the fused chunk kernel (2 substitution
+    # passes/iteration); storing it at 2 bytes halves those bytes.  Values:
+    #   "none" — f32 factor (default);
+    #   "f16"  — IEEE half storage (eps 4.9e-4, 16× finer mantissa than
+    #            bf16 at the same byte cost; range is not a concern after
+    #            Ruiz equilibration — factor entries are O(1));
+    #   "bf16" — bfloat16 storage (measured dead end in round 2: dual
+    #            residual floors above the 1e-3 tolerance; kept as the
+    #            A/B control).
+    # Rounding is applied wherever a factor is (re)built — setup and ρ-
+    # adaptation refactors — so the solve sees exactly what a 2-byte
+    # stream would carry.  Polish keeps its own full-precision factor.
+    factor_round: str = "none"
+    # Stream a 2-byte factor during the ``termination_warmup`` chunk ONLY
+    # ("f16"/"bf16"; "none" disables).  Measured (benchmarks/
+    # factor_round_sweep.py): a full f16-factor solve converges 64/64 but
+    # needs ~4× the iterations (the tail crawls against the rounded
+    # operator's perturbed fixed point), while a ~20-iteration f16 PREFIX
+    # costs ≈0 extra iterations — the pre-convergence floor doesn't need
+    # the last 13 mantissa bits.  With warmup=21 of ~28 total iterations,
+    # the dominant chunk-kernel stream (the packed factor, 2 substitution
+    # passes/iteration) runs at half bytes for 3/4 of the solve.  The
+    # cadence (and the termination decisions) always use the full f32
+    # factor, so accepted solutions are optimal-to-tolerance regardless.
+    # Fused-chunk path: the kernel streams the 2-byte array and upcasts
+    # in-register; flat path: value-equivalent rounding (simulation).
+    factor_warmup_stream: str = "none"
     # Run the first this-many iterations as ONE unchecked chunk before the
     # ``check_termination`` cadence starts (lane driver).  Cold solves of a
     # known class never converge before a known floor (the honest GOMP

@@ -350,7 +350,11 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
 
         del state_in  # same memory as state_hbm; use that ref
         sub0 = pl.program_id(0) * S
-        zero = jnp.zeros((S, LANE), cbuf.dtype)
+        # Compute dtype comes from the STATE stream: the factor stream may
+        # be stored at 2 bytes (Settings.factor_warmup_stream) and is
+        # upcast in-register on read.
+        cdt = sbuf.dtype
+        zero = jnp.zeros((S, LANE), cdt)
         keep = done_vmem[:]  # (S, LANE); 1.0 = frozen problem
         live = 1.0 - keep
 
@@ -430,13 +434,17 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
             for hbm, buf, sem, idx in streams:
                 dma(hbm, buf, sem, slot, idx(t)).wait()
 
+        def chol_at(slot, idx):
+            # f32 no-op; 2-byte factor streams upcast in-register here.
+            return cbuf[slot, idx].astype(cdt)
+
         def lower_solve(slot, b):
             w = []
             for i in range(B2):
                 acc = b[i]
                 for j in range(i):
-                    acc = acc - cbuf[slot, LOW[(i, j)]] * w[j]
-                w.append(acc / cbuf[slot, LOW[(i, i)]])
+                    acc = acc - chol_at(slot, LOW[(i, j)]) * w[j]
+                w.append(acc / chol_at(slot, LOW[(i, i)]))
             return w
 
         def upper_solve(slot, b):
@@ -444,8 +452,8 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
             for i in reversed(range(B2)):
                 acc = b[i]
                 for j in range(i + 1, B2):
-                    acc = acc - cbuf[slot, LOW[(j, i)]] * x[j]
-                x[i] = acc / cbuf[slot, LOW[(i, i)]]
+                    acc = acc - chol_at(slot, LOW[(j, i)]) * x[j]
+                x[i] = acc / chol_at(slot, LOW[(i, i)])
             return x
 
         def a_rows_stencil(s, val, nxt):
@@ -614,8 +622,8 @@ def _make_kernel(*, W, N, Rp, CRp, SRp, DRp, S, n_iter, sigma, alpha,
                 carry0 = carry0 + ((zN, zN, zN),)
             jax.lax.fori_loop(0, W, fwd_body, carry0)
 
-        ninf = jnp.full((S, LANE), -jnp.inf, cbuf.dtype)
-        pinf = jnp.full((S, LANE), jnp.inf, cbuf.dtype)
+        ninf = jnp.full((S, LANE), -jnp.inf, cdt)
+        pinf = jnp.full((S, LANE), jnp.inf, cdt)
         VQ, VD, VDI = 0, B2, 2 * B2  # varc row offsets (as residuals kernel)
 
         if emit_term:
@@ -1090,7 +1098,7 @@ def fused_admm_chunk(
         )
         out_shape.append(jax.ShapeDtypeStruct((_NACC, GS, LANE), dt))
 
-    scratch = [pltpu.VMEM((2, Tp, S, LANE), dt)]  # cbuf (packed chol)
+    scratch = [pltpu.VMEM((2, Tp, S, LANE), cholp.dtype)]  # cbuf (packed chol)
     if not hrec:
         scratch.append(pltpu.VMEM((2, Tp, S, LANE), dt))  # gbuf (packed gain)
     scratch += [

@@ -256,6 +256,29 @@ def init_state_lane(
     )
 
 
+def _round_factor(factor, mode: str):
+    """Round-trip every factor leaf through a 2-byte storage dtype
+    (``Settings.factor_round``): the solve then sees exactly the values a
+    reduced-precision factor stream would carry.  This is the SIMULATION
+    side of the optimization — the fused kernel's real 2-byte stream (same
+    values, half the HBM bytes) is gated on this knob proving convergence.
+    """
+    if mode == "none":
+        return factor
+    dt = {"f16": jnp.float16, "bf16": jnp.bfloat16}[mode]
+
+    def rt(leaf):
+        if leaf is None or not hasattr(leaf, "dtype"):
+            return leaf
+        if not jnp.issubdtype(leaf.dtype, jnp.floating):
+            return leaf
+        return leaf.astype(dt).astype(leaf.dtype)
+
+    return jax.tree_util.tree_map(
+        rt, factor, is_leaf=lambda x: x is None
+    )
+
+
 def _anderson_step(scaled, st, settings: Settings, use_fused, reset_mask):
     """Safeguarded Anderson extrapolation of the chunk fixed-point map.
 
@@ -745,15 +768,17 @@ def _solve_core(
         if use_packed_factor:
             # One streaming kernel: assemble+factor+pack, no (W,2N,2N,B)
             # KKT blocks ever materialize (ops/kkt_factor_pallas.py).
-            return factor_packed_lane(
+            f = factor_packed_lane(
                 scaled, rho_vec_arr, settings.sigma, coef=coef_pack,
                 emit_gain=not use_hrec,
             )
+            return _round_factor(f, settings.factor_round)
         f = scaled.kkt_factor(rho_vec_arr, settings.sigma)
         if not use_fused:
-            return f
+            return _round_factor(f, settings.factor_round)
         pf = pack_factor(scaled, f)
-        return (pf[0], None) if use_hrec else pf
+        pf = (pf[0], None) if use_hrec else pf
+        return _round_factor(pf, settings.factor_round)
 
     if rb is None:
         rb = jnp.full((base.q.shape[-1],), settings.rho, base.q.dtype)
@@ -784,18 +809,37 @@ def _solve_core(
         # checks' fixed costs (dispatch, fused-termination tail,
         # decide/cond) are skipped.  Warm-started sessions should keep
         # termination_warmup=0.
+        #
+        # factor_warmup_stream: the warmup chunk may stream a 2-byte factor
+        # (half the dominant stream's bytes) — the pre-convergence floor
+        # doesn't need the last mantissa bits; the cadence below always
+        # uses the full f32 factor (see Settings).
+        wf = st.factor
+        if settings.factor_warmup_stream != "none":
+            half_dt = {"f16": jnp.float16, "bf16": jnp.bfloat16}[
+                settings.factor_warmup_stream
+            ]
+            if use_fused:
+                # Real 2-byte stream: the chunk kernel upcasts on read.
+                wf = tuple(
+                    None if leaf is None else leaf.astype(half_dt)
+                    for leaf in st.factor
+                )
+            else:
+                # Flat path: value-equivalent rounding (simulation).
+                wf = _round_factor(st.factor, settings.factor_warmup_stream)
         if use_fused:
             sp, _ = fused_admm_chunk(
                 scaled, None, None, None, None, st.rho_vec, st.done,
                 settings, coef=coef_pack, lu=lu_pack,
-                packed_factor=st.factor, state_pack=st.x, n_iter=warmup,
+                packed_factor=wf, state_pack=st.x, n_iter=warmup,
             )
             st = st.replace(
                 x=sp, iterations=st.iterations + jnp.int32(warmup)
             )
         else:
             # _iteration counts its own iterations.
-            factor0 = st.factor
+            factor0 = wf
             st = jax.lax.fori_loop(
                 0,
                 warmup,
@@ -804,7 +848,7 @@ def _solve_core(
                 ),
                 st.replace(factor=None),
                 unroll=settings.inner_unroll,
-            ).replace(factor=factor0)
+            ).replace(factor=st.factor)
 
     if settings.anderson > 0:
         # Anderson-acceleration carry: ring history of chunk-map outputs /

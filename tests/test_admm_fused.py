@@ -152,6 +152,43 @@ def test_fused_solve_end_to_end(factor_form, warmup):
     )
 
 
+def test_factor_warmup_stream_parity():
+    """The 2-byte warmup factor stream (Settings.factor_warmup_stream):
+    the fused kernel streams an f16 cholp and upcasts in-register —
+    value-equivalent to the flat path's round-trip rounding — and the
+    cadence (full f32 factor) still terminates on TRUE residuals, so
+    statuses/iterations match the flat driver exactly and every problem
+    is optimal-to-tolerance."""
+    settings = dataclasses.replace(
+        admm.Settings(), check_termination=10, fused_chunk="on",
+        factor_form="hrec", termination_warmup=6,
+        factor_warmup_stream="f16",
+    )
+    lane = build_wp_batch(honest=True)
+    ref = solve_batched_lane(
+        lane, dataclasses.replace(settings, fused_chunk="off")
+    )
+    got = solve_batched_lane(lane, settings)
+    assert np.all(np.asarray(got.status) == ExitCode.kOptimal)
+    np.testing.assert_array_equal(
+        np.asarray(got.status), np.asarray(ref.status))
+    np.testing.assert_array_equal(
+        np.asarray(got.iterations), np.asarray(ref.iterations))
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(ref.x), rtol=1e-5, atol=1e-6
+    )
+    # The stream genuinely perturbs the warmup (it is not a no-op): the
+    # trajectory differs from the unstreamed solve beyond f32 noise,
+    # while the accepted solutions still agree to solver tolerance.
+    clean = solve_batched_lane(
+        lane, dataclasses.replace(settings, factor_warmup_stream="none")
+    )
+    assert float(np.max(np.abs(np.asarray(got.x) - np.asarray(clean.x)))) > 1e-12
+    np.testing.assert_allclose(
+        np.asarray(got.x), np.asarray(clean.x), atol=5e-3
+    )
+
+
 @pytest.mark.parametrize("factor_form", ["gain", "hrec"])
 def test_fused_solve_with_rho_adaptation(factor_form):
     """A mid-solve ρ adaptation forces a refactorization between chunks —

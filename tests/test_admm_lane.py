@@ -524,6 +524,26 @@ def _prime_history(st, v_out, rng_seed=5):
 
 
 @quick
+def test_factor_round_f16_still_converges():
+    """Settings.factor_round="f16" (full-solve reduced-precision factor
+    SIMULATION — benchmarks/factor_round_sweep.py is the measurement):
+    termination evaluates TRUE residuals against the rounded-factor
+    iterates, so accepted solutions remain optimal-to-tolerance; only the
+    iteration count may grow."""
+    qps = build_batch(honest=True)
+    base = dataclasses.replace(admm.Settings(), check_termination=3)
+    plain = solve_batched_lane(to_lane(qps), base)
+    f16 = solve_batched_lane(
+        to_lane(qps), dataclasses.replace(base, factor_round="f16")
+    )
+    assert np.all(np.asarray(plain.status) == ExitCode.kOptimal)
+    assert np.all(np.asarray(f16.status) == ExitCode.kOptimal)
+    np.testing.assert_allclose(
+        np.asarray(f16.x), np.asarray(plain.x), atol=5e-3
+    )
+
+
+@quick
 def test_anderson_rho_adaptation_reset_mechanism():
     """reset_mask=True (the ρ-adaptation path): history is wiped — every
     slot refilled with the current pair, counter back to 1, and the
