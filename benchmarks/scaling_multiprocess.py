@@ -7,10 +7,14 @@ For each device count K, the SAME fixed-iteration sharded program runs on
 P processes (K/P local devices each), gloo collectives crossing the
 boundary.  Boundary efficiency = T(1 process) / T(P processes): what the
 separator all_gathers / halo ppermutes / batch statuses pay when they leave
-the process.  Every configuration gets the same TOTAL core budget (the 4
-physical cores, divided evenly among its processes), so compute is constant
-and the curve isolates transport overhead — the cross-process analogue of
-scaling.py's ``--one-core`` discipline.
+the process.  The 1-process baseline is the plain local path (XLA
+in-process collectives, exactly benchmarks/scaling.py's programs); P>1 uses
+``jax.distributed`` + gloo.  No core pinning: every process sees the whole
+host (XLA:CPU sizes its device thread pool from the affinity set, and
+gloo's BLOCKING collectives futex-deadlock when a process has more
+collective participants than pool threads — measured), so all layouts get
+the same total compute and P-process ones timeshare it, which is part of
+the overhead being measured.
 
 Both axes are measured:
 * horizon — ONE W-step banded QP, full OSQP-semantics ADMM at exactly F
@@ -56,24 +60,37 @@ def _free_port() -> int:
 
 
 def worker(args) -> None:
-    # Equal-total-compute discipline: this process gets its even share of
-    # the physical cores (set by the launcher via --cores "a,b").
-    if args.cores:
-        os.sched_setaffinity(0, {int(c) for c in args.cores.split(",")})
+    # No core pinning: XLA:CPU sizes its device thread pool from the
+    # affinity set, and gloo's BLOCKING collectives deadlock when a process
+    # has more local devices in a collective than pool threads (measured:
+    # 8 devices on a 4-core affinity futex-hangs).  Every process sees the
+    # whole host; 1-process and P-process layouts get the same total
+    # compute, P-process ones just timeshare it — which is the overhead
+    # being measured.
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
 
-    from osqp_solver_tpu.parallel.multihost import initialize
+    if args.num_processes == 1:
+        # The no-boundary BASELINE is the plain local path (same as
+        # benchmarks/scaling.py): XLA's in-process collectives, no gloo.
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags
+                + f" --xla_force_host_platform_device_count={args.local_devices}"
+            ).strip()
+    else:
+        from osqp_solver_tpu.parallel.multihost import initialize
 
-    initialize(
-        coordinator_address=args.coordinator,
-        num_processes=args.num_processes,
-        process_id=args.process_id,
-        local_device_count=args.local_devices,
-    )
+        initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+            local_device_count=args.local_devices,
+        )
     import dataclasses
 
     import jax.numpy as jnp
@@ -159,13 +176,8 @@ def launch(layout: str, args) -> dict:
     P, L = (int(v) for v in layout.split("x"))
     port = _free_port()
     outp = f"/tmp/scaling_mp_{layout}.json"
-    n_cores = os.cpu_count() or 4
-    share = max(1, n_cores // P)
     procs = []
     for pid in range(P):
-        cores = ",".join(
-            str(c % n_cores) for c in range(pid * share, (pid + 1) * share)
-        )
         env = {
             "PATH": "/usr/bin:/bin:/usr/local/bin",
             "PYTHONPATH": str(REPO),
@@ -178,7 +190,6 @@ def launch(layout: str, args) -> dict:
                 "--num-processes", str(P),
                 "--process-id", str(pid),
                 "--local-devices", str(L),
-                "--cores", cores,
                 "--out", outp,
                 "--w-horizon", str(args.w_horizon),
                 "--fixed-iters", str(args.fixed_iters),
@@ -190,7 +201,8 @@ def launch(layout: str, args) -> dict:
             stderr=subprocess.DEVNULL if args.quiet else None,
         ))
     rc = [p.wait(timeout=1800) for p in procs]
-    assert all(r == 0 for r in rc), (layout, rc)
+    if any(r != 0 for r in rc):
+        raise RuntimeError((layout, rc))
     return json.loads(pathlib.Path(outp).read_text())
 
 
@@ -201,7 +213,6 @@ def main() -> None:
     ap.add_argument("--num-processes", type=int, default=1)
     ap.add_argument("--process-id", type=int, default=0)
     ap.add_argument("--local-devices", type=int, default=8)
-    ap.add_argument("--cores", default="")
     ap.add_argument("--out", default="/tmp/scaling_mp.json")
     ap.add_argument("--w-horizon", type=int, default=4096)
     ap.add_argument("--fixed-iters", type=int, default=40)
@@ -220,7 +231,15 @@ def main() -> None:
     results = {}
     for layout in args.layouts.split(","):
         t0 = time.time()
-        results[layout] = launch(layout, args)
+        try:
+            results[layout] = launch(layout, args)
+        except RuntimeError as e:
+            # XLA:CPU aborts flakily under memory pressure right after a
+            # big layout exits (same class as the known compile-SEGFAULT
+            # quirk, CLAUDE.md) — one clean retry.
+            log(f"{layout}: worker failure {e}; retrying once")
+            time.sleep(5)
+            results[layout] = launch(layout, args)
         log(f"{layout}: horizon {results[layout]['horizon_s']*1e3:.0f} ms, "
             f"batch {results[layout]['batch_s']*1e3:.0f} ms "
             f"[{time.time()-t0:.0f}s total]")

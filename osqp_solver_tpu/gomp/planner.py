@@ -122,25 +122,11 @@ class GOMPSolver:
             )
             return linearize_workspace(qp, balls, obstacles, con3d, warm)
 
-        def is_solution_ok(x):
-            """Exact nonlinear-FK feasibility (``gomp-solver.h:141-199``):
-            gripper within the 3-D box ± radius ± ERROR; all balls clear of
-            every obstacle wherever a collision is flagged."""
-            q = x[: W * N].reshape(W, N)
-            ok = jnp.array(True)
-            for ball in balls:
-                pts = jax.vmap(lambda s: jnp.asarray(ball.fk(s), self.dtype))(q)
-                r = ball.radius
-                if ball.is_gripper:
-                    low = con3d[0][None, :]
-                    upp = con3d[1][None, :]
-                    ok &= jnp.all(low - ERROR <= pts - r)
-                    ok &= jnp.all(pts + r <= upp + ERROR)
-                for line in obstacles:
-                    coll = line.has_collision(pts, r)
-                    above = line.is_above(pts, r)
-                    ok &= jnp.all(~coll | above)
-            return ok
+        # Exact nonlinear-FK feasibility (``gomp-solver.h:141-199``):
+        # gripper within the 3-D box ± radius ± ERROR; all balls clear of
+        # every obstacle wherever a collision is flagged.  SoA-aware
+        # (RobotBall.fk_jac_batched) — shared with the batched paths.
+        is_solution_ok = self._is_solution_ok_fn(W)
 
         @jax.jit
         def setup_fn(start, end, warm):
@@ -241,27 +227,8 @@ class GOMPSolver:
                 qp, balls, obstacles, con3d, warm, w_active=wa
             )
 
-        def is_solution_ok(x, wa):
-            act = jnp.arange(W) < wa
-            q = x[: W * N].reshape(W, N)
-            ok = jnp.array(True)
-            for ball in balls:
-                pts = jax.vmap(lambda s: jnp.asarray(ball.fk(s), self.dtype))(q)
-                r = ball.radius
-                if ball.is_gripper:
-                    low = con3d[0][None, :]
-                    upp = con3d[1][None, :]
-                    ok &= jnp.all(
-                        jnp.where(act[:, None], low - ERROR <= pts - r, True)
-                    )
-                    ok &= jnp.all(
-                        jnp.where(act[:, None], pts + r <= upp + ERROR, True)
-                    )
-                for line in obstacles:
-                    coll = line.has_collision(pts, r)
-                    above = line.is_above(pts, r)
-                    ok &= jnp.all(jnp.where(act, ~coll | above, True))
-            return ok
+        # Masked-horizon exact-FK feasibility — shared with run_batch_padded.
+        is_solution_ok = self._is_solution_ok_masked_fn(W)
 
         @jax.jit
         def setup_fn(start, end, warm, wa):
