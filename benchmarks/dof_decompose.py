@@ -79,8 +79,16 @@ def main():
     INF = 1e30
     B, W = int(os.environ.get("BATCH", "1024")), 50
     ct = 3
+    # Fixed-iteration discipline (as benchmarks/scaling.py): unreachable
+    # tolerances pin EXACTLY F iterations on both robots, so the ms ratio
+    # is a pure per-iteration cost ratio — the two classes otherwise
+    # converge at different iteration counts (and the π-sweep is not even
+    # feasible for the iiwa14's workspace floor), which would confound the
+    # decomposition.
+    F = 20
     settings = dataclasses.replace(
         admm.Settings(), rho=0.04, check_termination=ct, scaling=3,
+        eps_abs=1e-30, eps_rel=1e-30, max_iter=F, adaptive_rho=False,
     )
     rng = np.random.default_rng(0)
 

@@ -149,7 +149,7 @@ def main():
             call = lambda: fn(starts, ends, waypoints=W)
         t0 = time.time()
         out = call()
-        st, tr, it = out[0], out[1], out[-1]
+        st, tr, it = out[0], out[1], out[3] if args.full else out[-1]
         sync(tr)
         log(f"[{name}] compile+first: {time.time()-t0:.1f}s")
         n_opt = int(np.sum(np.asarray(st) == 0))
@@ -159,12 +159,15 @@ def main():
         )
         if args.full:
             horizons = np.asarray(out[2])
+            admm_it = np.asarray(out[4])
             log(
                 f"[{name}] winning horizon p50={int(np.median(horizons))} "
                 f"min={int(np.min(horizons))} max={int(np.max(horizons))} "
-                f"(segments={args.segments}, W_max={W})"
+                f"(segments={args.segments}, W_max={W}); total ADMM iters "
+                f"p50={int(np.median(admm_it))} max={int(np.max(admm_it))}"
             )
             results["horizon_p50"] = int(np.median(horizons))
+            results["admm_iters_p50"] = int(np.median(admm_it))
         # Dispatch all reps, sync only the last — per-rep readbacks cost a
         # ~25 ms tunnel round-trip each and floor the measurement (in-order
         # execution makes the final sync a barrier on all reps).

@@ -227,7 +227,8 @@ class GOMPSolver:
                 qp, balls, obstacles, con3d, warm, w_active=wa
             )
 
-        # Masked-horizon exact-FK feasibility — shared with run_batch_padded.
+        # Masked-horizon exact-FK feasibility — shared with
+        # run_batch_padded (W here is the padded W_max).
         is_solution_ok = self._is_solution_ok_masked_fn(W)
 
         @jax.jit
@@ -576,14 +577,15 @@ class GOMPSolver:
         (the reference breaks on any code other than optimal/unknown),
         and keeps descending through infeasible segments (``kUnknown``).
 
-        Returns ``(statuses, trajectories, horizons, scp_rounds)``:
-        statuses ``(B,)`` ExitCode ints (kOptimal iff some segment passed
-        the exact-FK check); trajectories ``(B, 2·W_max·N)`` in PADDED
-        layout — positions ``[0, w·N)`` of the first half and velocities
-        ``[0, w·N)`` of the second half are live, where ``w`` is the
-        per-query winning horizon in ``horizons`` — with velocities
-        dt-unscaled (``gomp-solver.h:53``); ``scp_rounds`` ``(B,)`` total
-        SCP re-linearizations across all segments.
+        Returns ``(statuses, trajectories, horizons, scp_rounds,
+        admm_iters)``: statuses ``(B,)`` ExitCode ints (kOptimal iff some
+        segment passed the exact-FK check); trajectories ``(B, 2·W_max·N)``
+        in PADDED layout — positions ``[0, w·N)`` of the first half and
+        velocities ``[0, w·N)`` of the second half are live, where ``w``
+        is the per-query winning horizon in ``horizons`` — with velocities
+        dt-unscaled (``gomp-solver.h:53``); ``scp_rounds``/``admm_iters``
+        ``(B,)`` total SCP re-linearizations / ADMM iterations across all
+        segments (the cost telemetry of the full search).
         """
         from ..ops.admm_lane import solve_batched_lane
         from .trajectory import calc_warm_start_masked
@@ -646,12 +648,6 @@ class GOMPSolver:
             alive = jnp.ones((B,), bool)
             total_scp = jnp.zeros((B,), jnp.int32)
 
-            # Row count of the lane layout (for the dual warm start).
-            qp_probe = jax.vmap(
-                build_one, in_axes=(0, 0, 0, None), out_axes=-1
-            )(starts, ends, warm0, jnp.asarray(W, jnp.int32))
-            m = from_trailing(qp_probe, row_layout="waypoint").l.shape[0]
-
             lin_b = jax.vmap(
                 lambda qp, xi, wa: linearize_workspace(
                     qp, balls, obstacles, con3d, xi, w_active=wa
@@ -664,11 +660,12 @@ class GOMPSolver:
             def scp_segment(warm, run_mask, wa):
                 """One masked SCP loop at traced horizon ``wa`` — the
                 batched ``run_horizon_padded``.  Returns (x (2WN, B),
-                ok, solver_status, rounds)."""
+                ok, solver_status, rounds, admm_iters)."""
                 qp_t = jax.vmap(
                     build_one, in_axes=(0, 0, 0, None), out_axes=-1
                 )(starts, ends, warm, wa)
                 x0 = warm.T  # (2WN, B)
+                m = from_trailing(qp_t, row_layout="waypoint").l.shape[0]
                 y0 = jnp.zeros((m, B), x0.dtype)
                 status0 = jnp.full((B,), ExitCode.kUnknown, jnp.int32)
                 ok0 = jnp.zeros((B,), bool)
@@ -676,11 +673,11 @@ class GOMPSolver:
                 k0 = jnp.zeros((B,), jnp.int32)
 
                 def cond(carry):
-                    _, _, _, _, _, done, k = carry
+                    done, k = carry[5], carry[6]
                     return jnp.any(~done) & (jnp.max(k) < max_scp)
 
                 def body(carry):
-                    qp_t, x, y, status, ok, done, k = carry
+                    qp_t, x, y, status, ok, done, k, it = carry
                     lane = from_trailing(qp_t, row_layout="waypoint")
                     res = solve_batched_lane(
                         lane, settings, warm_x=x.T, warm_y=y.T
@@ -690,6 +687,9 @@ class GOMPSolver:
                     status = jnp.where(done, status, res.status).astype(
                         jnp.int32
                     )
+                    it = it + jnp.where(done, 0, res.iterations).astype(
+                        jnp.int32
+                    )
                     ok = jnp.where(done, ok, ok_b(xs, wa))
                     solvable = (status == ExitCode.kOptimal) | (
                         status == ExitCode.kOptimalInaccurate
@@ -697,23 +697,25 @@ class GOMPSolver:
                     k = k + jnp.where(done, 0, 1).astype(jnp.int32)
                     done = done | ok | ~solvable
                     qp_t = lin_b(qp_t, xs, wa)
-                    return qp_t, xs, y, status, ok, done, k
+                    return qp_t, xs, y, status, ok, done, k, it
 
-                _, x, _, status, ok, _, k = jax.lax.while_loop(
-                    cond, body, (qp_t, x0, y0, status0, ok0, done0, k0)
+                _, x, _, status, ok, _, k, it = jax.lax.while_loop(
+                    cond, body,
+                    (qp_t, x0, y0, status0, ok0, done0, k0, k0),
                 )
-                return x, ok, status, k
+                return x, ok, status, k, it
 
             def seg_body(i, carry):
-                last_sol, last_w, last_code, alive, total_scp = carry
+                last_sol, last_w, last_code, alive, total_scp, total_it = carry
                 seg = segments - i
                 wa = jnp.asarray(W * seg // segments, jnp.int32)
                 run_mask = alive & (wa >= 4)
                 warm = jax.vmap(slice_warm_one, in_axes=(0, 0, None))(
                     last_sol, last_w, wa
                 )
-                x, ok, status, k = scp_segment(warm, run_mask, wa)
+                x, ok, status, k, it = scp_segment(warm, run_mask, wa)
                 total_scp = total_scp + jnp.where(run_mask, k, 0)
+                total_it = total_it + jnp.where(run_mask, it, 0)
                 # Segment outcome (run_horizon semantics): kOptimal /
                 # kOptimalInaccurate only when the exact-FK check passed;
                 # anything else degrades to kUnknown.
@@ -730,17 +732,20 @@ class GOMPSolver:
                 )
                 last_sol = jnp.where(improved[:, None], x.T, last_sol)
                 last_w = jnp.where(improved, wa, last_w)
-                return last_sol, last_w, last_code, alive, total_scp
+                return last_sol, last_w, last_code, alive, total_scp, total_it
 
-            last_sol, last_w, last_code, alive, total_scp = jax.lax.fori_loop(
-                0, segments, seg_body,
-                (last_sol, last_w, last_code, alive, total_scp),
+            (last_sol, last_w, last_code, alive, total_scp, total_it) = (
+                jax.lax.fori_loop(
+                    0, segments, seg_body,
+                    (last_sol, last_w, last_code, alive, total_scp,
+                     jnp.zeros((B,), jnp.int32)),
+                )
             )
             # Unscale the live velocity window (gomp-solver.h:53); the
             # padded tail is zeros either way.
             q, v = last_sol[:, :WN], last_sol[:, WN:]
             out = jnp.concatenate([q, v / self.time_step], axis=1)
-            return last_code, out, last_w, total_scp
+            return last_code, out, last_w, total_scp, total_it
 
         key = ("batch_padded", max_scp)
         if key not in self._compiled:

@@ -337,7 +337,9 @@ def test_run_batch_padded_matches_run_padded():
     ends = np.tile(np.array([0.5, -1.0, 0.2]), (B, 1)) + 0.02 * np.arange(B)[
         :, None
     ]
-    statuses, trajs, horizons, rounds = solver.run_batch_padded(starts, ends)
+    statuses, trajs, horizons, rounds, admm_iters = solver.run_batch_padded(
+        starts, ends
+    )
     W, N_ = solver.max_waypoints, solver.n_dim
     assert trajs.shape == (B, 2 * W * N_)
     for b in range(B):
@@ -370,7 +372,7 @@ def test_run_batch_padded_masked_survival():
     far_end = np.full(N, 9.5)
     starts = np.stack([feas_start, feas_start])
     ends = np.stack([feas_end, far_end])
-    statuses, trajs, horizons, _ = solver.run_batch_padded(starts, ends)
+    statuses, trajs, horizons, _, _ = solver.run_batch_padded(starts, ends)
     ref0 = solver.run_padded(feas_start, feas_end)
     ref1 = solver.run_padded(feas_start, far_end)
     assert int(statuses[0]) == int(ref0.status)
