@@ -47,6 +47,15 @@ def main():
     ap.add_argument("--ari", type=int, default=None)
     ap.add_argument("--scaling", type=int, default=None)
     ap.add_argument(
+        "--max-iter", type=int, default=None,
+        help="per-solve ADMM iteration cap.  The OSQP default (4000) is the "
+        "reference-parity setting, but on the full time-scaling search one "
+        "marginal segment (neither converging nor certifiably infeasible) "
+        "burns the whole cap: measured ~91%% of ALL iterations.  ~300 keeps "
+        "every observed convergence (<=48 iters) and certificate (<=150) "
+        "with ~10x the query throughput",
+    )
+    ap.add_argument(
         "--robot", choices=("ur5e", "ur10e", "iiwa14"), default="ur5e",
         help="arm model: the reference's UR5e (analytic module) or a "
         "generic-DH preset (models/dh_robot.py) — iiwa14 is 7-DOF",
@@ -108,6 +117,8 @@ def main():
         overrides["adaptive_rho_interval"] = args.ari
     if args.scaling is not None:
         overrides["scaling"] = args.scaling
+    if args.max_iter is not None:
+        overrides["max_iter"] = args.max_iter
     settings = dataclasses.replace(Settings(), **overrides)
 
     solver = GOMPSolver(
