@@ -562,7 +562,8 @@ class GOMPSolver:
             jnp.asarray(starts, self.dtype), jnp.asarray(ends, self.dtype)
         )
 
-    def run_batch_padded(self, starts, ends, max_scp: Optional[int] = None):
+    def run_batch_padded(self, starts, ends, max_scp: Optional[int] = None,
+                         warm_duals: bool = False):
         """Batched FULL time-scaling planner — the reference's flagship
         ``run(start, end)`` semantics (``gomp-solver.h:38-55``: 10-segment
         horizon-shrinking search, warm-start slicing quirk included) vmapped
@@ -586,6 +587,17 @@ class GOMPSolver:
         dt-unscaled (``gomp-solver.h:53``); ``scp_rounds``/``admm_iters``
         ``(B,)`` total SCP re-linearizations / ADMM iterations across all
         segments (the cost telemetry of the full search).
+
+        ``warm_duals=True`` goes beyond the reference (which warm-starts
+        primal-only across segments — ``SetPrimalWarmStart``,
+        ``osqp-wrapper.h:45-47``): each segment's first solve starts from
+        the previous segment's final duals.  The padded layout keeps row
+        meanings fixed across horizons (rows beyond the new ``wa`` are
+        free rows whose optimal dual is 0, so stale values there decay),
+        so the dual container is directly reusable.  Accuracy-neutral —
+        termination still checks true KKT residuals — but iterate paths
+        (and thus trajectories, within tolerance) differ from the
+        reference semantics, so it is opt-in.
         """
         from ..ops.admm_lane import solve_batched_lane
         from .trajectory import calc_warm_start_masked
@@ -657,16 +669,14 @@ class GOMPSolver:
             )
             ok_b = jax.vmap(is_ok1, in_axes=(-1, None))
 
-            def scp_segment(warm, run_mask, wa):
+            def scp_segment(warm, run_mask, wa, y0):
                 """One masked SCP loop at traced horizon ``wa`` — the
                 batched ``run_horizon_padded``.  Returns (x (2WN, B),
-                ok, solver_status, rounds, admm_iters)."""
+                y (m, B), ok, solver_status, rounds, admm_iters)."""
                 qp_t = jax.vmap(
                     build_one, in_axes=(0, 0, 0, None), out_axes=-1
                 )(starts, ends, warm, wa)
                 x0 = warm.T  # (2WN, B)
-                m = from_trailing(qp_t, row_layout="waypoint").l.shape[0]
-                y0 = jnp.zeros((m, B), x0.dtype)
                 status0 = jnp.full((B,), ExitCode.kUnknown, jnp.int32)
                 ok0 = jnp.zeros((B,), bool)
                 done0 = ~run_mask
@@ -699,21 +709,23 @@ class GOMPSolver:
                     qp_t = lin_b(qp_t, xs, wa)
                     return qp_t, xs, y, status, ok, done, k, it
 
-                _, x, _, status, ok, _, k, it = jax.lax.while_loop(
+                _, x, y, status, ok, _, k, it = jax.lax.while_loop(
                     cond, body,
                     (qp_t, x0, y0, status0, ok0, done0, k0, k0),
                 )
-                return x, ok, status, k, it
+                return x, y, ok, status, k, it
 
             def seg_body(i, carry):
-                last_sol, last_w, last_code, alive, total_scp, total_it = carry
+                (last_sol, last_w, last_code, alive, total_scp, total_it,
+                 last_y) = carry
                 seg = segments - i
                 wa = jnp.asarray(W * seg // segments, jnp.int32)
                 run_mask = alive & (wa >= 4)
                 warm = jax.vmap(slice_warm_one, in_axes=(0, 0, None))(
                     last_sol, last_w, wa
                 )
-                x, ok, status, k, it = scp_segment(warm, run_mask, wa)
+                y0 = last_y if warm_duals else jnp.zeros_like(last_y)
+                x, y, ok, status, k, it = scp_segment(warm, run_mask, wa, y0)
                 total_scp = total_scp + jnp.where(run_mask, k, 0)
                 total_it = total_it + jnp.where(run_mask, it, 0)
                 # Segment outcome (run_horizon semantics): kOptimal /
@@ -732,13 +744,26 @@ class GOMPSolver:
                 )
                 last_sol = jnp.where(improved[:, None], x.T, last_sol)
                 last_w = jnp.where(improved, wa, last_w)
-                return last_sol, last_w, last_code, alive, total_scp, total_it
+                return (last_sol, last_w, last_code, alive, total_scp,
+                        total_it, y)
 
-            (last_sol, last_w, last_code, alive, total_scp, total_it) = (
+            # Dual container shape, shape-only (no compute): the lane's
+            # padded row count at any horizon (static across segments).
+            m = jax.eval_shape(
+                lambda s, e, w: from_trailing(
+                    jax.vmap(build_one, in_axes=(0, 0, 0, None),
+                             out_axes=-1)(s, e, w, jnp.int32(W)),
+                    row_layout="waypoint",
+                ).l,
+                starts, ends, warm0,
+            ).shape[0]
+            y_init = jnp.zeros((m, B), starts.dtype)
+
+            (last_sol, last_w, last_code, alive, total_scp, total_it, _) = (
                 jax.lax.fori_loop(
                     0, segments, seg_body,
                     (last_sol, last_w, last_code, alive, total_scp,
-                     jnp.zeros((B,), jnp.int32)),
+                     jnp.zeros((B,), jnp.int32), y_init),
                 )
             )
             # Unscale the live velocity window (gomp-solver.h:53); the
@@ -747,7 +772,7 @@ class GOMPSolver:
             out = jnp.concatenate([q, v / self.time_step], axis=1)
             return last_code, out, last_w, total_scp, total_it
 
-        key = ("batch_padded", max_scp)
+        key = ("batch_padded", max_scp, bool(warm_duals))
         if key not in self._compiled:
             self._compiled[key] = jax.jit(plan_batch)
         return self._compiled[key](

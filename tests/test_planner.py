@@ -386,6 +386,79 @@ def test_run_batch_padded_masked_survival():
     )
 
 
+def test_run_batch_padded_max_iter_cap_parity():
+    """The fleet `max_iter=300` recommendation (BASELINE.md round-4): on
+    the full time-scaling search, the OSQP-default cap (4000) burns ~91%
+    of all iterations in one marginal segment that neither converges nor
+    certifies infeasible — capping it must change NOTHING about the search
+    outcome (statuses, winning horizons, trajectories bit-identical),
+    only truncate that segment's grind.  Pinned on the reference-example
+    UR5e class where the marginal segment (wa=15) was measured."""
+    import dataclasses
+
+    from osqp_solver_tpu.ops.admm import Settings
+
+    N6, W, INF = 6, 50, 1e30
+    balls = [
+        ur5e.make_ball("back6", 0.15),
+        ur5e.make_ball("tool", 0.05, is_gripper=True),
+    ]
+    rng = np.random.default_rng(0)
+    start = 0.02 * rng.standard_normal(N6)
+    end = np.zeros(N6)
+    end[0] = np.pi
+    results = {}
+    for mi in (4000, 300):
+        settings = dataclasses.replace(
+            Settings(), rho=0.04, check_termination=3, scaling=3, max_iter=mi
+        )
+        solver = GOMPSolver(
+            max_waypoints=W,
+            time_step=0.1,
+            settings=settings,
+            pos_con=C.in_range(N6, -2 * np.pi, 2 * np.pi),
+            vel_con=C.in_range(N6, -np.pi, np.pi),
+            acc_con=C.in_range(N6, -800 * np.pi / 180, 800 * np.pi / 180),
+            con_3d=C.Constraint(
+                lower=np.array([-INF, -0.4, -INF]), upper=np.full(3, INF)
+            ),
+            obstacles=[],
+            balls=balls,
+            segments=10,
+            dtype=jnp.float32,
+        )
+        results[mi] = solver.run_padded(start, end)
+    a, b = results[4000], results[300]
+    assert a.status == b.status == ExitCode.kOptimal
+    assert a.trajectory.size == b.trajectory.size  # same winning horizon
+    np.testing.assert_array_equal(a.trajectory, b.trajectory)
+    # the cap must actually have bitten (else this test pins nothing)
+    it_a = sum(s.admm_iterations for s in a.stats)
+    it_b = sum(s.admm_iterations for s in b.stats)
+    assert it_a > 2000 and it_b < it_a / 4, (it_a, it_b)
+
+
+def test_run_batch_padded_warm_duals_same_outcomes():
+    """`warm_duals=True` (beyond-reference: duals carried across segments)
+    is accuracy-neutral — statuses and winning horizons match the
+    primal-only reference semantics.  Measured a NEGATIVE on the UR5e
+    class (p50 iterations 699 -> 742: stale duals from the previous
+    horizon's geometry mis-warm the shifted active set; BASELINE.md
+    round-4) — kept opt-in as the in-tree record."""
+    solver = make_solver(waypoints=12, segments=3)
+    B = 4
+    starts = np.tile(np.array([0.0, 1.0, 0.2]), (B, 1))
+    ends = np.tile(np.array([0.5, -1.0, 0.2]), (B, 1)) + 0.02 * np.arange(B)[
+        :, None
+    ]
+    st0, _, hz0, _, _ = solver.run_batch_padded(starts, ends)
+    st1, _, hz1, _, _ = solver.run_batch_padded(
+        starts, ends, warm_duals=True
+    )
+    np.testing.assert_array_equal(np.asarray(st0), np.asarray(st1))
+    np.testing.assert_array_equal(np.asarray(hz0), np.asarray(hz1))
+
+
 def test_ur5e_soa_balls_match_matrix_balls():
     """The planner run with SoA-evaluator balls (ur5e.make_ball — the TPU
     hot path: batched FK + geometric Jacobian in linearize_workspace AND the
