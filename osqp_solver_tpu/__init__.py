@@ -24,7 +24,7 @@ __version__ = "0.1.0"
 
 from .gomp import constraints
 from .gomp.builder import ConstraintBuilder
-from .gomp.geometry import HorizontalLine
+from .gomp.geometry import HorizontalLine, SphereObstacle
 from .gomp.layout import TrajectoryLayout, make_layout
 from .gomp.planner import GOMPSolver, PlanResult
 from .gomp.trajectory import (
@@ -56,6 +56,7 @@ __all__ = [
     "constraints",
     "ConstraintBuilder",
     "HorizontalLine",
+    "SphereObstacle",
     "TrajectoryLayout",
     "make_layout",
     "RobotBall",

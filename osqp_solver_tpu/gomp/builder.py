@@ -121,13 +121,28 @@ class ConstraintBuilder:
         for b, ball in enumerate(self.balls):
             points = np.stack([np.asarray(ball.fk(q)) for q in q_traj])  # (W, 3)
             jacs = np.stack([np.asarray(ball.jacobian(q)) for q in q_traj])  # (W,3,N)
-            if self.obstacles:
-                coll = np.stack(
-                    [
-                        np.asarray(obs.has_collision(points, ball.radius))
-                        for obs in self.obstacles
-                    ]
-                )  # (n_obs, W)
+            # Per-obstacle precompute: the reference's HorizontalLine keeps
+            # its scalar per-waypoint loop (byte-exact vs tests/test.cpp
+            # fixtures); generic obstacles (SphereObstacle, ...) go through
+            # the duck-typed vectorized protocol (geometry.py) shared with
+            # the structured hot path.
+            per_obs = []
+            for obs in self.obstacles:
+                if isinstance(obs, HorizontalLine):
+                    per_obs.append(
+                        ("line", np.asarray(obs.has_collision(points, ball.radius)))
+                    )
+                else:
+                    jq = np.einsum("waj,wj->wa", jacs, q_traj)
+                    per_obs.append((
+                        "generic",
+                        tuple(
+                            np.asarray(a, dtype=np.float64)
+                            for a in obs.linearize_rows(
+                                points, jacs, jq, ball.radius
+                            )
+                        ),
+                    ))
             for t in range(W):
                 q = q_traj[t]
                 p = points[t]
@@ -149,7 +164,14 @@ class ConstraintBuilder:
                 for o, obstacle in enumerate(self.obstacles):
                     row = lay.workspace_row(b, t, k)
                     k += 1
-                    if bool(coll[o, t]):
+                    kind, data = per_obs[o]
+                    if kind == "generic":
+                        row_jac, g_low, g_upp = data
+                        self._ws_row_raw(
+                            row, row_jac[t], t, float(g_low[t]), float(g_upp[t])
+                        )
+                        continue
+                    if bool(data[t]):
                         # constraint-builder.h:246-267: single Z row bounding
                         # J_z·q above/below the line height at closest point.
                         bound = (
@@ -217,6 +239,16 @@ class ConstraintBuilder:
         self.A[row, base : base + self.n_dim] = jac[axis]
         self.l[row] = low + ball.radius
         self.u[row] = upp - ball.radius
+        assert self.l[row] <= self.u[row], f"l > u at workspace row {row}"
+
+    def _ws_row_raw(self, row, row_vec, waypoint, low, upp) -> None:
+        """Workspace row with an arbitrary direction: ``row_vec`` over the
+        ``q_t`` vars, bounds written as given (the obstacle protocol's
+        ``linearize_rows`` already applied the ±ball-radius tightening)."""
+        base = self.layout.nth_pos(waypoint)
+        self.A[row, base : base + self.n_dim] = row_vec
+        self.l[row] = low
+        self.u[row] = upp
         assert self.l[row] <= self.u[row], f"l > u at workspace row {row}"
 
     def _constrain_variable(self, var_start: int, c: Constraint) -> None:

@@ -1,10 +1,16 @@
-"""Obstacle geometry: infinite horizontal line obstacles.
+"""Obstacle geometry: horizontal-line obstacles + spherical keep-outs.
 
 TPU-native re-design of ``/root/reference/src/horizontal-line.h`` (the whole
 file, 106 LoC).  The reference operates point-by-point with scalar branches;
 here every predicate is a vectorized jnp expression over a whole ``(W, 3)``
 trajectory at once so the SCP linearization runs inside ``jit`` with static
 shapes (and ``vmap``s over obstacles, balls, and problem batches).
+
+Obstacles are duck-typed: anything with ``violates(points, radius)`` (the
+exact-FK feasibility test) and ``linearize_rows(points, jac, jq, radius)``
+(one SCP constraint row per waypoint) plugs into ``GOMPSolver``,
+``linearize_workspace``, and the dense parity builder.  ``HorizontalLine``
+is the reference's geometry; ``SphereObstacle`` is an extension beyond it.
 
 Collision semantics mirror ``horizontal-line.h:78-92``:
 a waypoint "collides" with the line iff the ball around the waypoint's XY
@@ -108,6 +114,95 @@ class HorizontalLine:
     @property
     def bypass_from_below(self):
         return self.bypass_below > 0
+
+    # --- obstacle protocol (duck-typed; SphereObstacle implements the same)
+
+    def violates(self, points, radius):
+        """Per-waypoint exact-FK infeasibility (``gomp-solver.h:141-199``
+        usage): collision-flagged AND not clear on the required side."""
+        return self.has_collision(points, radius) & ~self.is_above(
+            points, radius
+        )
+
+    def linearize_rows(self, points, jac, jq, radius):
+        """One linearized collision row per waypoint, vectorized — the
+        ``constraint-builder.h:246-267`` Z-row semantics: bound the ball's
+        Z (via ``J_z``) above/below the line height at the closest point
+        wherever :meth:`has_collision` flags the waypoint; dummy ``±INF``
+        rows with the SAME coefficients elsewhere (``:108-117``).
+
+        ``points``: ``(W, 3)`` ball positions at the linearization point;
+        ``jac``: ``(W, 3, N)`` ball Jacobians; ``jq``: ``(W, 3)`` per-axis
+        ``J·q0``.  Returns ``(row_jac (W, N), low (W,), upp (W,))`` with
+        the ±``radius`` ball tightening applied."""
+        coll = self.has_collision(points, radius)  # (W,)
+        bound = (
+            self.closest_point(points)[..., 2] - points[..., 2] + jq[..., 2]
+        )
+        below = self.bypass_below > 0
+        low = jnp.where(coll & ~below, bound, -INF) + radius
+        upp = jnp.where(coll & below, bound, INF) - radius
+        return jac[:, 2, :], low, upp
+
+
+@struct.dataclass
+class SphereObstacle:
+    """A spherical keep-out obstacle — a TPU-native EXTENSION beyond the
+    reference's only geometry (``horizontal-line.h``): every robot ball
+    must stay at least ``radius + ball_radius`` from ``center``.
+
+    Implements the same duck-typed obstacle protocol as
+    :class:`HorizontalLine` (``violates`` for the exact-FK check,
+    ``linearize_rows`` for the SCP constraint rows), so spheres drop into
+    ``GOMPSolver(obstacles=[...])``, ``linearize_workspace``, and the
+    dense parity builder unchanged — the obstacle row container stores one
+    scalar row per (ball, obstacle, waypoint) whatever its direction.
+
+    ``margin``: SCP activation gate — the linearized keep-out row is live
+    whenever the ball is within ``radius + ball_radius + margin`` of the
+    center (the proximity analogue of the line's segment-crossing test);
+    the exact-FK check uses the hard radius with the reference's ``ERROR``
+    slack."""
+
+    center: jnp.ndarray  # (3,)
+    radius: jnp.ndarray  # scalar
+    margin: jnp.ndarray  # scalar
+
+    @classmethod
+    def create(cls, center, radius, margin: float = 0.1):
+        return cls(
+            center=jnp.asarray(np.asarray(center, dtype=np.float64)),
+            radius=jnp.asarray(float(radius)),
+            margin=jnp.asarray(float(margin)),
+        )
+
+    def distance(self, p):
+        """Euclidean distance from ``p`` (``(..., 3)``) to the center."""
+        return jnp.linalg.norm(p - self.center, axis=-1)
+
+    def violates(self, points, radius):
+        """Ball at a waypoint penetrates the keep-out sphere (with the
+        reference's ``ERROR`` feasibility slack)."""
+        return self.distance(points) < self.radius + radius - ERROR
+
+    def linearize_rows(self, points, jac, jq, radius):
+        """Linearized keep-out row per waypoint: ``n·p ≥ n·c + R`` with
+        ``n = (p0 − c)/‖p0 − c‖`` (the supporting-hyperplane outer
+        approximation of the sphere at the linearization point), i.e.
+        ``(n·J)·q ≥ R + n·(c − p0) + (n·J)·q0``; rows are live inside the
+        ``margin``-inflated radius and dummy ``±INF`` (same coefficients)
+        elsewhere.  Same signature/returns as
+        :meth:`HorizontalLine.linearize_rows`."""
+        rel = points - self.center  # (W, 3)
+        dist = jnp.linalg.norm(rel, axis=-1)  # (W,)
+        n = rel / jnp.maximum(dist, 1e-9)[..., None]  # (W, 3)
+        row = jnp.einsum("wa,wan->wn", n, jac)  # (W, N) = n·J
+        live = dist < self.radius + radius + self.margin
+        rq0 = jnp.sum(n * jq, axis=-1)  # (n·J)·q0
+        bound = self.radius - dist + rq0
+        low = jnp.where(live, bound, -INF) + radius
+        upp = jnp.full_like(low, INF)
+        return row, low, upp
 
 
 def stack_lines(lines) -> HorizontalLine:

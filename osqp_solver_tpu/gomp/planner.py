@@ -68,7 +68,7 @@ class GOMPSolver:
         vel_con: Constraint,
         acc_con: Constraint,
         con_3d: Constraint,
-        obstacles: Sequence[HorizontalLine],
+        obstacles: Sequence,  # HorizontalLine | SphereObstacle (duck-typed)
         balls: Sequence[RobotBall],
         gripper_ik=None,  # stored-but-unused in the reference (gomp-solver.h:34,103)
         settings: Settings = Settings(),
@@ -810,9 +810,9 @@ class GOMPSolver:
                         True,
                     ))
                 for line in self.obstacles:
-                    coll = line.has_collision(pts, r)
-                    above = line.is_above(pts, r)
-                    ok &= jnp.all(jnp.where(act, ~coll | above, True))
+                    ok &= jnp.all(
+                        jnp.where(act, ~line.violates(pts, r), True)
+                    )
             return ok
 
         return is_ok
@@ -864,9 +864,7 @@ class GOMPSolver:
                     ok &= jnp.all(con3d[0][None, :] - ERROR <= pts - r)
                     ok &= jnp.all(pts + r <= con3d[1][None, :] + ERROR)
                 for line in self.obstacles:
-                    coll = line.has_collision(pts, r)
-                    above = line.is_above(pts, r)
-                    ok &= jnp.all(~coll | above)
+                    ok &= jnp.all(~line.violates(pts, r))
             return ok
 
         return is_ok

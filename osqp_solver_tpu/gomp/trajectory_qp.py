@@ -824,19 +824,16 @@ def linearize_workspace(
             ws_u = ws_u.at[b].set(upp)
 
         for o, line in enumerate(obstacles):
-            # constraint-builder.h:246-267 Z-row; dummy (±INF) when no
-            # collision (:108-117) — same coefficients either way.
-            coll = line.has_collision(points, r)  # (W,)
-            bound = line.closest_point(points)[..., 2] - points[..., 2] + jq[..., 2]
-            below = line.bypass_below > 0
-            low = jnp.where(coll & ~below, bound, -INF) + r
-            upp = jnp.where(coll & below, bound, INF) - r
-            zjac = jac[:, 2, :]
+            # Duck-typed obstacle protocol (geometry.py): one linearized
+            # row per waypoint — constraint-builder.h:246-267 Z-row for
+            # HorizontalLine, supporting-hyperplane row for SphereObstacle;
+            # dummy (±INF) rows share coefficients (:108-117).
+            ojac, low, upp = line.linearize_rows(points, jac, jq, r)
             if act is not None:
-                zjac = zjac * act[:, None].astype(dt_)
+                ojac = ojac * act[:, None].astype(dt_)
                 low = jnp.where(act, low, -INF)
                 upp = jnp.where(act, upp, INF)
-            obs_jac = obs_jac.at[b, o].set(zjac)
+            obs_jac = obs_jac.at[b, o].set(ojac)
             obs_l = obs_l.at[b, o].set(low)
             obs_u = obs_u.at[b, o].set(upp)
 

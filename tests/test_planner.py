@@ -386,6 +386,53 @@ def test_run_batch_padded_masked_survival():
     )
 
 
+def test_sphere_obstacle_avoidance():
+    """A SphereObstacle (beyond-reference geometry, duck-typed protocol)
+    placed on the straight-line path: the SCP plan must route around it —
+    exact-FK keep-out distance ≥ R + r_ball − ERROR at every waypoint —
+    while the obstacle-free straight line would violate it."""
+    from osqp_solver_tpu.gomp.geometry import SphereObstacle
+
+    center = np.array([0.25, 0.0, 0.2])
+    R, r_ball = 0.3, 0.05
+    sphere = SphereObstacle.create(center, radius=R, margin=0.2)
+    solver = make_solver(obstacles=[sphere], waypoints=10)
+    start = np.array([0.0, 1.0, 0.2])
+    end = np.array([0.5, -1.0, 0.2])
+    res = solver.run(start, end)
+    assert res.status == ExitCode.kOptimal
+    W = res.trajectory.size // (2 * N)
+    q = res.trajectory[: W * N].reshape(W, N)
+    d = np.linalg.norm(q - center, axis=-1)
+    assert np.all(d >= R + r_ball - 1.5e-3), d.min()
+    # the unconstrained straight line genuinely crosses the keep-out
+    lin = np.linspace(start, end, W)
+    assert np.any(np.linalg.norm(lin - center, axis=-1) < R + r_ball - 1e-3)
+
+
+def test_sphere_obstacle_batched_planner():
+    """SphereObstacle through the batched lane planner path (the fused
+    hot path builds obstacle rows via the same protocol)."""
+    from osqp_solver_tpu.gomp.geometry import SphereObstacle
+
+    center = np.array([0.25, 0.0, 0.2])
+    sphere = SphereObstacle.create(center, radius=0.3, margin=0.2)
+    solver = make_solver(obstacles=[sphere], waypoints=10)
+    B = 3
+    starts = np.tile(np.array([0.0, 1.0, 0.2]), (B, 1))
+    ends = np.tile(np.array([0.5, -1.0, 0.2]), (B, 1)) + 0.01 * np.arange(
+        B
+    )[:, None]
+    statuses, trajs, iters = solver.run_batch_lane(
+        starts, ends, waypoints=10
+    )
+    W = 10
+    assert np.all(np.asarray(statuses) == int(ExitCode.kOptimal))
+    q = np.asarray(trajs)[:, : W * N].reshape(B, W, N)
+    d = np.linalg.norm(q - center, axis=-1)
+    assert np.all(d >= 0.3 + 0.05 - 1.5e-3), d.min()
+
+
 def test_run_batch_padded_max_iter_cap_parity():
     """The fleet `max_iter=300` recommendation (BASELINE.md round-4): on
     the full time-scaling search, the OSQP-default cap (4000) burns ~91%

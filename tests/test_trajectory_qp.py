@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from osqp_solver_tpu import ConstraintBuilder, RobotBall, constraints as C
-from osqp_solver_tpu.gomp.geometry import HorizontalLine
+from osqp_solver_tpu.gomp.geometry import HorizontalLine, SphereObstacle
 from osqp_solver_tpu.gomp.trajectory import smoothness_objective
 from osqp_solver_tpu.gomp.trajectory_qp import (
     empty_trajectory_qp,
@@ -59,6 +59,13 @@ def make_problem(with_obstacles=True, feasible=False):
             HorizontalLine.create([1.0, 0.2], [100.0, 100.0, 0.3], True),
             HorizontalLine.create([0.0, 1.0], [-100.0, 100.0, 0.4], False),
         ]
+    elif with_obstacles == "sphere":
+        # Mixed list: the reference's line + the extension sphere, placed
+        # near the fake-FK points so live keep-out rows are exercised.
+        obstacles = [
+            HorizontalLine.create([1.0, 0.2], [0.0, 0.1, 0.3], True),
+            SphereObstacle.create(OFFS[0] + 0.05, radius=0.2, margin=0.15),
+        ]
     elif with_obstacles:
         obstacles = [
             HorizontalLine.create([1.0, 0.2], [0.0, 0.1, 0.3], True),
@@ -104,7 +111,7 @@ def build_both(with_obstacles=True, feasible=False):
     return dense, qp, traj
 
 
-@pytest.mark.parametrize("with_obstacles", [False, True])
+@pytest.mark.parametrize("with_obstacles", [False, True, "sphere"])
 def test_bounds_and_matrix_parity(with_obstacles):
     dense, qp, _ = build_both(with_obstacles)
     l_ref, A_ref, u_ref = dense.build()
