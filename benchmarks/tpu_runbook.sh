@@ -34,6 +34,11 @@ run mpc_fleet_ct2 python benchmarks/mpc_fleet.py --ct 2
 run planner python benchmarks/planner_batch.py --batch 1024 --skip-vmap --rho 0.05 --ct 13 --ari 39
 run planner_tuned python benchmarks/planner_batch.py --batch 1024 --skip-vmap --rho 0.04 --ct 3 --ari 45 --scaling 3
 run planner_iiwa14 python benchmarks/planner_batch.py --batch 1024 --skip-vmap --rho 0.04 --ct 3 --scaling 3 --robot iiwa14
+# FULL time-scaling semantics (gomp-solver.h:38-55), max_iter=300 fleet cap
+# (bit-identical plans vs the OSQP-default 4000 — BASELINE.md round-4):
+run planner_full python benchmarks/planner_batch.py --full --batch 1024 --waypoints 50 --segments 10 --ct 3 --rho 0.04 --scaling 3 --max-iter 300 --reps 3
+run planner_full_iiwa14 python benchmarks/planner_batch.py --full --batch 1024 --waypoints 50 --segments 10 --ct 3 --rho 0.04 --scaling 3 --max-iter 300 --reps 3 --robot iiwa14
+run planner_full_w802 python benchmarks/planner_batch.py --full --batch 128 --waypoints 802 --segments 10 --ct 3 --rho 0.02 --scaling 3 --max-iter 300 --reps 2
 run planner_round_profile python benchmarks/profile_planner_round.py
 # w802: batch 512 is the measured knee; --adapt-interval defaults to 60
 # (deferred past the 30-iter tail — the old 3*ct=9 fired mid-solve and cost
