@@ -191,7 +191,11 @@ def main():
         "model_bytes_ratio": round(
             r["model_rows_per_wp_iter"] / u["model_rows_per_wp_iter"], 3
         ),
-        "iters_ratio": round(r["iters_p50"] / u["iters_p50"], 3),
+        # No iters_ratio here: the fixed-iteration discipline pins both
+        # robots at exactly F iterations by construction, so a ratio would
+        # read as a measurement while being a constant 1.0 — class
+        # iteration-count differences are visible in the converging
+        # planner_batch rows instead.
         "lin_ratio": round(r["lin_ms"] / u["lin_ms"], 3),
         **out,
     }))

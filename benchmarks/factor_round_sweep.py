@@ -84,7 +84,6 @@ def main():
 
     import json
 
-    ok = results["f16"]["optimal"] == BATCH
     parity = results["f16"]["iters_p50"] == results["none"]["iters_p50"]
     print(json.dumps({
         "metric": "factor_round_f16_convergence",

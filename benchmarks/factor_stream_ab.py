@@ -93,9 +93,13 @@ def main():
             "iters_max": int(np.max(it)),
         }
 
+    streamed = [k for k in out if k != "none"]
     print(json.dumps({
         "metric": "factor_warmup_stream_f16_ab",
-        "value": round(out[[k for k in out if k != "none"][0]]["ms_per_batch"] / out["none"]["ms_per_batch"], 3),
+        # STREAM=none re-measures just the baseline: no ratio then.
+        "value": round(
+            out[streamed[0]]["ms_per_batch"] / out["none"]["ms_per_batch"], 3
+        ) if streamed else None,
         "unit": "stream/none ms ratio on the honest class (<1 = 2-byte stream wins)",
         **out,
     }))

@@ -200,7 +200,18 @@ def launch(layout: str, args) -> dict:
             stdout=subprocess.DEVNULL,
             stderr=subprocess.DEVNULL if args.quiet else None,
         ))
-    rc = [p.wait(timeout=1800) for p in procs]
+    try:
+        rc = [p.wait(timeout=1800) for p in procs]
+    except subprocess.TimeoutExpired:
+        # A deadlocked layout (e.g. 2x4 on a 4-core host — see --layouts
+        # help) must not leak frozen workers: kill the whole set so a
+        # retry/re-run doesn't contend with orphans, and surface the same
+        # RuntimeError the caller already handles.
+        for p in procs:
+            p.kill()
+        for p in procs:
+            p.wait()
+        raise RuntimeError((layout, "timeout — workers killed"))
     if any(r != 0 for r in rc):
         raise RuntimeError((layout, rc))
     return json.loads(pathlib.Path(outp).read_text())

@@ -127,13 +127,13 @@ class ConstraintBuilder:
             # the duck-typed vectorized protocol (geometry.py) shared with
             # the structured hot path.
             per_obs = []
+            jq = np.einsum("waj,wj->wa", jacs, q_traj)  # (W, 3) per-axis J·q0
             for obs in self.obstacles:
                 if isinstance(obs, HorizontalLine):
                     per_obs.append(
                         ("line", np.asarray(obs.has_collision(points, ball.radius)))
                     )
                 else:
-                    jq = np.einsum("waj,wj->wa", jacs, q_traj)
                     per_obs.append((
                         "generic",
                         tuple(

@@ -331,8 +331,8 @@ class DHRobot:
         return q, (pos_err <= tol) & (ang_err <= tol_rot)
 
 
-def ik_checked(robot: DHRobot, p, rot=None, q0=None, link: int | None = None,
-               **kw):
+def ik_checked(robot: DHRobot, p, *, rot=None, q0=None,
+               link: int | None = None, **kw):
     """Host-side IK entry raising
     :class:`~osqp_solver_tpu.utils.types.NoInverseKinematicSolution` when
     DLS does not reach ``p`` (and, when ``rot`` is given, the target

@@ -145,8 +145,15 @@ class Settings:
     # passes/iteration) runs at half bytes for 3/4 of the solve.  The
     # cadence (and the termination decisions) always use the full f32
     # factor, so accepted solutions are optimal-to-tolerance regardless.
-    # Fused-chunk path: the kernel streams the 2-byte array and upcasts
-    # in-register; flat path: value-equivalent rounding (simulation).
+    # Fused-chunk path: the kernel streams the 2-byte CHOL pack and
+    # upcasts in-register (the gain pack stays f32 — its VMEM buffer has
+    # no upcast path); flat path: value-equivalent rounding (simulation).
+    # VERDICT (round 4, measured on hardware — kept as the record, see
+    # docs/ROADMAP.md): a NEGATIVE.  Mosaic has no IEEE f16 ("f16" fails
+    # to compile on TPU), and the "bf16" warmup measured 41 vs 27
+    # iterations p50 / 25.6 vs 15.0 ms per batch — each low-mantissa
+    # warmup iteration makes ~0.7 of an f32 iteration's progress, erasing
+    # the byte saving.  Do not enable expecting a win.
     factor_warmup_stream: str = "none"
     # Run the first this-many iterations as ONE unchecked chunk before the
     # ``check_termination`` cadence starts (lane driver).  Cold solves of a

@@ -820,11 +820,13 @@ def _solve_core(
                 settings.factor_warmup_stream
             ]
             if use_fused:
-                # Real 2-byte stream: the chunk kernel upcasts on read.
-                wf = tuple(
-                    None if leaf is None else leaf.astype(half_dt)
-                    for leaf in st.factor
-                )
+                # Real 2-byte stream: the chunk kernel upcasts the CHOL
+                # buffer on read (chol_at); the gain pack must stay f32 —
+                # its VMEM scratch (gbuf) is allocated at the working dtype
+                # and read without an upcast, so casting it would pair a
+                # 2-byte HBM source with an f32 buffer.
+                cholp = st.factor[0].astype(half_dt)
+                wf = (cholp,) + tuple(st.factor[1:])
             else:
                 # Flat path: value-equivalent rounding (simulation).
                 wf = _round_factor(st.factor, settings.factor_warmup_stream)

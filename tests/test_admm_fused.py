@@ -189,6 +189,22 @@ def test_factor_warmup_stream_parity():
     )
 
 
+def test_factor_warmup_stream_gain_form():
+    """The gain-form fused path under a real 2-byte warmup stream: only the
+    chol pack may be cast (the kernel's gain scratch buffer is allocated at
+    the working dtype and read without an upcast — casting the gain pack
+    would pair a 2-byte HBM source with an f32 VMEM buffer).  Pins the
+    admm_lane cast-only-cholp fix: the solve must run and stay optimal."""
+    settings = dataclasses.replace(
+        admm.Settings(), check_termination=10, fused_chunk="on",
+        factor_form="gain", termination_warmup=6,
+        factor_warmup_stream="bf16",
+    )
+    lane = build_wp_batch(honest=True)
+    got = solve_batched_lane(lane, settings)
+    assert np.all(np.asarray(got.status) == ExitCode.kOptimal)
+
+
 @pytest.mark.parametrize("factor_form", ["gain", "hrec"])
 def test_fused_solve_with_rho_adaptation(factor_form):
     """A mid-solve ρ adaptation forces a refactorization between chunks —
