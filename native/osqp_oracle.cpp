@@ -95,7 +95,8 @@ int osqp_oracle_solve(int n, int m, const double* P, const double* q,
                       double eps_rel, double eps_prim_inf, double eps_dual_inf,
                       double rho0, double sigma, double alpha,
                       int adaptive_rho, const double* warm_x,
-                      const double* warm_y) {
+                      const double* warm_y, int stall_checks,
+                      double stall_rtol) {
   std::vector<double> rho(m), x(n, 0.0), z(m, 0.0), y(m, 0.0);
   std::vector<double> dx(n, 0.0), dy(m, 0.0);
   double rho_bar = rho0;
@@ -142,6 +143,8 @@ int osqp_oracle_solve(int n, int m, const double* P, const double* q,
   int iter = 0;
   int status = kUnknown;
   double prim_res = 1e30, dual_res = 1e30;
+  double stall_ref = 1e300;
+  int stall_k = 0;
 
   // Infeasibility certificates (evaluated strict in-loop; the same
   // predicates run 10x-relaxed at max_iter -> k*InfeasibleInaccurate,
@@ -261,6 +264,20 @@ int osqp_oracle_solve(int n, int m, const double* P, const double* q,
       break;
     }
 
+    // In-solver stall detection (mirrors ops/admm.py::_stall_update): give
+    // up through the max_iter ladder when the residual metric fails to
+    // improve by stall_rtol over stall_checks consecutive checks.
+    if (stall_checks > 0) {
+      double metric = std::max(prim_res / std::max(eps_prim, 1e-30),
+                               dual_res / std::max(eps_dual, 1e-30));
+      if (metric < (1.0 - stall_rtol) * stall_ref) {
+        stall_ref = metric;
+        stall_k = 0;
+      } else if (++stall_k >= stall_checks) {
+        break;  // the post-loop block applies the 10x-relaxed re-check
+      }
+    }
+
     // Adaptive rho (interval = every termination check here).
     if (adaptive_rho) {
       double pr = prim_res / std::max(std::max(nAx, nz), kDivTol);
@@ -272,6 +289,8 @@ int osqp_oracle_solve(int n, int m, const double* P, const double* q,
         rho_bar = nr;
         rho_vec(rho_bar);
         if (!factor()) return kNonConvex;
+        stall_ref = 1e300;  // residual trajectory restarts under the new rho
+        stall_k = 0;
       }
     }
   }
@@ -407,7 +426,7 @@ int osqp_oracle_solve_sparse(
     int max_iter, int check_every, double eps_abs, double eps_rel,
     double eps_prim_inf, double eps_dual_inf, double rho0, double sigma,
     double alpha, int adaptive_rho, const double* warm_x,
-    const double* warm_y) {
+    const double* warm_y, int stall_checks, double stall_rtol) {
   const Csr P{P_indptr, P_indices, P_data, n};
   const Csr A{A_indptr, A_indices, A_data, m};
   std::vector<double> rho(m), x(n, 0.0), z(m, 0.0), y(m, 0.0);
@@ -467,6 +486,8 @@ int osqp_oracle_solve_sparse(
   int iter = 0;
   int status = kUnknown;
   double prim_res = 1e30, dual_res = 1e30;
+  double stall_ref = 1e300;
+  int stall_k = 0;
 
   // Same certificates as the dense path, via CSR matvecs (strict in-loop,
   // 10x-relaxed at max_iter -> k*InfeasibleInaccurate).
@@ -562,6 +583,18 @@ int osqp_oracle_solve_sparse(
       break;
     }
 
+    // In-solver stall detection (mirrors ops/admm.py::_stall_update).
+    if (stall_checks > 0) {
+      double metric = std::max(prim_res / std::max(eps_prim, 1e-30),
+                               dual_res / std::max(eps_dual, 1e-30));
+      if (metric < (1.0 - stall_rtol) * stall_ref) {
+        stall_ref = metric;
+        stall_k = 0;
+      } else if (++stall_k >= stall_checks) {
+        break;  // the post-loop block applies the 10x-relaxed re-check
+      }
+    }
+
     if (adaptive_rho) {
       double pr = prim_res / std::max(std::max(nAx, nz), kDivTol);
       double dr =
@@ -572,6 +605,8 @@ int osqp_oracle_solve_sparse(
         rho_bar = nr;
         rho_vec(rho_bar);
         if (!factor()) return kNonConvex;
+        stall_ref = 1e300;
+        stall_k = 0;
       }
     }
   }

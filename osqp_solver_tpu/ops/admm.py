@@ -164,6 +164,30 @@ class Settings:
     # keep 0 for warm-started sessions (re-solves converge in a few
     # iterations).
     termination_warmup: int = 0
+    # In-solver stall detection (beyond OSQP, default ON — set
+    # ``stall_checks=0`` for exact OSQP give-up semantics).  The residual
+    # metric max(prim_res/eps_prim, dual_res/eps_dual) — how many × the
+    # iterate misses the current tolerances — is tracked across termination
+    # checks: whenever it improves by ``stall_rtol`` (relative) over the
+    # window reference, the window re-arms; after ``stall_checks``
+    # consecutive checks WITHOUT such an improvement the problem exits
+    # early through the SAME ladder max_iter uses (10×-relaxed re-check →
+    # kOptimalInaccurate / k*InfeasibleInaccurate / kMaxIterations), so
+    # downstream status consumers see max_iter semantics, just without
+    # grinding out the remaining iterations.  ρ adaptation re-arms the
+    # window (residual trajectories legitimately restart).  Motivation
+    # (BASELINE.md round-4 decomposition): the default-settings full
+    # time-scaling search burns 91% of its ADMM iterations in ONE
+    # never-certifying marginal segment that plateaus to max_iter=4000;
+    # stall detection gives OSQP-default users the capped-row throughput
+    # with no knob.  Defaults: 12 checks × check_termination=25 ⇒ a
+    # problem must improve 5% per ≤300 iterations to keep running — a
+    # problem that cannot do that cannot traverse the remaining decades
+    # to certify by 4000 either.  The native oracle implements the same
+    # rule behind the same parameters, so status-for-status
+    # cross-validation covers the stall path too.
+    stall_checks: int = 12
+    stall_rtol: float = 0.05
 
 
 def refine_steps_for_horizon(waypoints: int, dtype) -> int:
@@ -208,6 +232,9 @@ class ADMMState:
     done: jnp.ndarray  # bool — frozen problems stop updating
     prim_res: jnp.ndarray
     dual_res: jnp.ndarray
+    # Stall-detection carry (Settings.stall_checks > 0; None otherwise).
+    stall_ref: Optional[jnp.ndarray] = None  # window-reference residual metric
+    stall_k: Optional[jnp.ndarray] = None  # int32 checks since the window armed
 
 
 @struct.dataclass
@@ -339,6 +366,55 @@ def _admm_iteration(scaled, st: ADMMState, settings: Settings) -> ADMMState:
     )
 
 
+def _stall_update(st, prim_res, dual_res, eps_prim, eps_dual, settings):
+    """Windowed no-progress detector (``Settings.stall_checks``), shared by
+    the vmapped (:func:`_termination`) and lane
+    (:func:`admm_lane._termination_decide`) paths — shapes follow the
+    state's ((,) or (B,)).
+
+    Returns ``(state-with-updated-window, stalled)``; the caller folds
+    ``stalled`` into its ``at_max`` branch so a stalled problem exits with
+    exactly the status max_iter would produce."""
+    if settings.stall_checks <= 0 or st.stall_ref is None:
+        return st, jnp.zeros_like(st.done)
+    tiny = jnp.asarray(1e-30, prim_res.dtype)
+    metric = jnp.maximum(
+        prim_res / jnp.maximum(eps_prim, tiny),
+        dual_res / jnp.maximum(eps_dual, tiny),
+    )
+    improved = metric < (1.0 - settings.stall_rtol) * st.stall_ref
+    stall_k = jnp.where(improved, 0, st.stall_k + 1).astype(jnp.int32)
+    stall_ref = jnp.where(improved, metric, st.stall_ref)
+    stalled = (~st.done) & (stall_k >= settings.stall_checks)
+    return (
+        st.replace(
+            stall_ref=jnp.where(st.done, st.stall_ref, stall_ref),
+            stall_k=jnp.where(st.done, st.stall_k, stall_k),
+        ),
+        stalled,
+    )
+
+
+def _stall_reset(st, mask, settings: Settings):
+    """Re-arm the stall window where ``mask`` (ρ adapted there)."""
+    if settings.stall_checks <= 0 or st.stall_ref is None:
+        return st
+    return st.replace(
+        stall_ref=jnp.where(mask, jnp.inf, st.stall_ref),
+        stall_k=jnp.where(mask, 0, st.stall_k).astype(jnp.int32),
+    )
+
+
+def _stall_init(settings: Settings, dtype, shape=()):
+    """Initial (stall_ref, stall_k) carry — ``(None, None)`` when off."""
+    if settings.stall_checks <= 0:
+        return None, None
+    return (
+        jnp.full(shape, jnp.inf, dtype),
+        jnp.zeros(shape, jnp.int32),
+    )
+
+
 def _termination(base, scaled, scaling: Scaling, st: ADMMState, settings: Settings):
     """Unscaled residuals, OSQP termination + infeasibility certificates.
 
@@ -455,7 +531,12 @@ def _termination(base, scaled, scaling: Scaling, st: ADMMState, settings: Settin
     # abort) instead of raising — batched siblings keep solving.
     blew_up = ~jnp.isfinite(_g_sum(base, st.x) + _g_sum(base, st.y))
 
-    at_max = st.iterations >= settings.max_iter
+    st, stalled = _stall_update(
+        st, prim_res, dual_res, eps_prim, eps_dual, settings
+    )
+    # A stalled problem gives up through the max_iter ladder below — same
+    # statuses, fewer wasted iterations (Settings.stall_checks).
+    at_max = (st.iterations >= settings.max_iter) | stalled
     new_status = jnp.where(
         blew_up,
         ExitCode.kNonConvex,
@@ -526,7 +607,8 @@ def _adapt_rho(scaled, st: ADMMState, norms, settings: Settings) -> ADMMState:
         rho_bar = new_rho
         rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
         factor = kkt_factor(scaled, rho_vec, settings.sigma, settings)
-        return st.replace(rho_bar=rho_bar, rho_vec=rho_vec, factor=factor)
+        st = st.replace(rho_bar=rho_bar, rho_vec=rho_vec, factor=factor)
+        return _stall_reset(st, jnp.array(True), settings)
 
     return jax.lax.cond(adapt, do_adapt, lambda s: s, st)
 
@@ -570,6 +652,7 @@ def init_state(
         # to reuse it across MPC re-solves (osqp-wrapper.h:33-43 semantics:
         # bounds-only updates do not refactorize).
         factor = kkt_factor(scaled, rho_vec, settings.sigma, settings)
+    stall_ref, stall_k = _stall_init(settings, dtype)
     return ADMMState(
         x=x,
         z=z,
@@ -584,6 +667,8 @@ def init_state(
         done=jnp.zeros((), bool),
         prim_res=jnp.full((), jnp.inf, dtype),
         dual_res=jnp.full((), jnp.inf, dtype),
+        stall_ref=stall_ref,
+        stall_k=stall_k,
     )
 
 
@@ -788,9 +873,10 @@ def solve_batched(
                 factor = jax.vmap(
                     lambda s, rv: kkt_factor(s, rv, settings.sigma, settings)
                 )(scaled, rho_vec)
-                return st.replace(
+                st = st.replace(
                     rho_bar=rho_bar, rho_vec=rho_vec, factor=factor
                 )
+                return _stall_reset(st, adapt, settings)
 
             # Scalar predicate → real branch even in the batched program:
             # the refactor runs only when at least one problem's ρ moved.

@@ -34,6 +34,9 @@ from .admm import (
     Settings,
     SolveResult,
     _rho_vec,
+    _stall_init,
+    _stall_reset,
+    _stall_update,
 )
 from .ruiz import MAX_SCALING, MIN_SCALING, Scaling, _limit
 from .status import ExitCode
@@ -201,6 +204,9 @@ class LaneADMMState:
     aa_vin: Optional[jnp.ndarray] = None  # (d, B) current chunk's input v
     aa_n: Optional[jnp.ndarray] = None  # (B,) history length since reset
     aa_fnorm: Optional[jnp.ndarray] = None  # (B,) last residual inf-norm
+    # Stall-detection carry (Settings.stall_checks > 0; None otherwise).
+    stall_ref: Optional[jnp.ndarray] = None  # (B,) window-reference metric
+    stall_k: Optional[jnp.ndarray] = None  # (B,) int32 checks since armed
 
 
 def _norm0(v):
@@ -239,6 +245,7 @@ def init_state_lane(
         rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
     if factor is None:
         factor = scaled.kkt_factor(rho_vec, settings.sigma)
+    stall_ref, stall_k = _stall_init(settings, dtype, (B,))
     return LaneADMMState(
         x=x,
         z=z,
@@ -253,6 +260,8 @@ def init_state_lane(
         done=jnp.zeros((B,), bool),
         prim_res=jnp.full((B,), jnp.inf, dtype),
         dual_res=jnp.full((B,), jnp.inf, dtype),
+        stall_ref=stall_ref,
+        stall_k=stall_k,
     )
 
 
@@ -529,7 +538,12 @@ def _termination_decide(
 
     blew_up = tq.blew_up
 
-    at_max = st.iterations >= settings.max_iter
+    st, stalled = _stall_update(
+        st, prim_res, dual_res, eps_prim, eps_dual, settings
+    )
+    # A stalled problem gives up through the max_iter ladder below — same
+    # statuses, fewer wasted iterations (Settings.stall_checks).
+    at_max = (st.iterations >= settings.max_iter) | stalled
     new_status = jnp.where(
         blew_up,
         ExitCode.kNonConvex,
@@ -941,11 +955,12 @@ def _solve_core(
             def do_adapt(st):
                 rho_bar = jnp.where(adapt, new_rho, st.rho_bar)
                 rho_vec = _rho_vec(rho_bar, scaled.l, scaled.u)
-                return st.replace(
+                st = st.replace(
                     rho_bar=rho_bar,
                     rho_vec=rho_vec,
                     factor=fresh_factor(rho_bar, rho_vec),
                 )
+                return _stall_reset(st, adapt, settings)
 
             st = jax.lax.cond(jnp.any(adapt), do_adapt, lambda s: s, st)
             aa_reset = adapt  # w = z + y/ρ changes scale under the new ρ

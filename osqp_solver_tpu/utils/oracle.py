@@ -65,6 +65,7 @@ def _load():
         ctypes.c_double, ctypes.c_double, ctypes.c_double,  # rho sigma alpha
         ctypes.c_int,  # adaptive_rho
         dp, dp,  # warm_x warm_y (nullable)
+        ctypes.c_int, ctypes.c_double,  # stall_checks stall_rtol
     ]
     _lib = lib
     return lib
@@ -88,6 +89,8 @@ def solve(
     adaptive_rho: bool = True,
     warm_x: Optional[np.ndarray] = None,
     warm_y: Optional[np.ndarray] = None,
+    stall_checks: int = 12,
+    stall_rtol: float = 0.05,
 ) -> OracleResult:
     lib = _load()
     P = np.ascontiguousarray(P, dtype=np.float64)
@@ -113,6 +116,7 @@ def solve(
         ptr(x), ptr(y), ctypes.byref(iters), ctypes.byref(pr), ctypes.byref(dr),
         max_iter, check_every, eps_abs, eps_rel, eps_prim_inf, eps_dual_inf,
         rho, sigma, alpha, int(adaptive_rho), wx, wy,
+        int(stall_checks), float(stall_rtol),
     )
     return OracleResult(
         x=x, y=y, status=int(status), iterations=int(iters.value),
@@ -140,6 +144,7 @@ def _load_sparse():
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
         ctypes.c_int,
         dp, dp,
+        ctypes.c_int, ctypes.c_double,  # stall_checks stall_rtol
     ]
     lib._sparse_bound = True
     return lib
@@ -164,6 +169,8 @@ def solve_sparse(
     adaptive_rho: bool = True,
     warm_x: Optional[np.ndarray] = None,
     warm_y: Optional[np.ndarray] = None,
+    stall_checks: int = 12,
+    stall_rtol: float = 0.05,
 ) -> OracleResult:
     """Sparse-A / banded-KKT oracle (qdldl-equivalent cost model) — makes the
     reference example scale (W=802 ⇒ n=9,624) tractable on CPU.
@@ -204,6 +211,7 @@ def solve_sparse(
         ptr(x), ptr(y), ctypes.byref(iters), ctypes.byref(pr), ctypes.byref(dr),
         max_iter, check_every, eps_abs, eps_rel, eps_prim_inf, eps_dual_inf,
         rho, sigma, alpha, int(adaptive_rho), wx, wy,
+        int(stall_checks), float(stall_rtol),
     )
     return OracleResult(
         x=x, y=y, status=int(status), iterations=int(iters.value),
