@@ -31,6 +31,7 @@ from .trajectory import calc_warm_start_jnp
 from .trajectory_qp import (
     empty_trajectory_qp,
     linearize_workspace,
+    pinned_movable_mask,
     with_gomp_boxes,
 )
 
@@ -120,7 +121,10 @@ class GOMPSolver:
                 (jnp.asarray(self.vel_con.lower, self.dtype), jnp.asarray(self.vel_con.upper, self.dtype)),
                 (jnp.asarray(self.acc_con.lower, self.dtype), jnp.asarray(self.acc_con.upper, self.dtype)),
             )
-            return linearize_workspace(qp, balls, obstacles, con3d, warm)
+            return linearize_workspace(
+                qp, balls, obstacles, con3d, warm,
+                movable=pinned_movable_mask(W),
+            )
 
         # Exact nonlinear-FK feasibility (``gomp-solver.h:141-199``):
         # gripper within the 3-D box ± radius ± ERROR; all balls clear of
@@ -138,7 +142,8 @@ class GOMPSolver:
             sess, res = ops_session.solve(sess, settings)
             ok = is_solution_ok(res.x)
             new_qp = linearize_workspace(
-                sess.base, balls, obstacles, con3d, res.x
+                sess.base, balls, obstacles, con3d, res.x,
+                movable=pinned_movable_mask(W),
             )
             sess = ops_session.update(sess, new_qp)
             return sess, res.x, res.status, ok, res.iterations
@@ -224,7 +229,8 @@ class GOMPSolver:
             qp = with_horizon_mask(qp, wa)
             qp = with_gomp_boxes_masked(qp, start, end, *boxes, wa)
             return linearize_workspace(
-                qp, balls, obstacles, con3d, warm, w_active=wa
+                qp, balls, obstacles, con3d, warm, w_active=wa,
+                movable=pinned_movable_mask(W, wa),
             )
 
         # Masked-horizon exact-FK feasibility — shared with
@@ -241,7 +247,8 @@ class GOMPSolver:
             sess, res = ops_session.solve(sess, settings)
             ok = is_solution_ok(res.x, wa)
             new_qp = linearize_workspace(
-                sess.base, balls, obstacles, con3d, res.x, w_active=wa
+                sess.base, balls, obstacles, con3d, res.x, w_active=wa,
+                movable=pinned_movable_mask(W, wa),
             )
             sess = ops_session.update(sess, new_qp, settings=settings)
             return sess, res.x, res.status, ok, res.iterations
@@ -392,8 +399,10 @@ class GOMPSolver:
         SURVEY.md §2.3).
 
         Returns ``(statuses, trajectories, scp_iters)`` with velocities
-        unscaled by dt; statuses are per-problem ``ExitCode`` ints
-        (kOptimal only when the exact-FK check passed).
+        unscaled by dt; statuses are per-problem ``ExitCode`` ints with
+        :meth:`run_horizon`'s ladder — ``kOptimal`` (exact-FK check passed
+        at full tolerance), ``kOptimalInaccurate`` (passed, but the solve
+        only certified the 10×-relaxed tolerance), else ``kUnknown``.
         """
         import jax
 
@@ -428,7 +437,8 @@ class GOMPSolver:
                 sess, res = ops_session.solve(sess, settings)
                 ok = self._is_solution_ok_fn(W)(res.x)
                 new_qp = linearize_workspace(
-                    sess.base, balls, obstacles, con3d, res.x
+                    sess.base, balls, obstacles, con3d, res.x,
+                    movable=pinned_movable_mask(W),
                 )
                 sess = ops_session.update(sess, new_qp, settings=settings)
                 return (sess, res.x, res.status, ok, k + 1)
@@ -441,8 +451,17 @@ class GOMPSolver:
                 jnp.zeros((), jnp.int32),
             )
             sess, x, status, ok, k = jax.lax.while_loop(cond, body, init)
+            # Same status ladder as run_horizon (planner.py:177-187): an
+            # accepted solve that only reached the 10×-relaxed tolerance
+            # stays distinguishable as kOptimalInaccurate.
             final_status = jnp.where(
-                ok, ExitCode.kOptimal, ExitCode.kUnknown
+                ok,
+                jnp.where(
+                    status == ExitCode.kOptimalInaccurate,
+                    jnp.int32(ExitCode.kOptimalInaccurate),
+                    jnp.int32(ExitCode.kOptimal),
+                ),
+                jnp.int32(ExitCode.kUnknown),
             ).astype(jnp.int32)
             half = W * N
             x = jnp.concatenate([x[:half], x[half:] / self.time_step])
@@ -470,14 +489,66 @@ class GOMPSolver:
         discarded — the batch is done when every problem is).
 
         Returns ``(statuses, trajectories, scp_iters)`` exactly like
-        :meth:`run_batch`.
+        :meth:`run_batch` (same status ladder, inaccurate acceptances
+        included).
         """
+        W = int(waypoints)
+        assert W >= 4
+        max_scp = self.max_scp_iterations if max_scp is None else int(max_scp)
+        key = ("batch_lane", W, max_scp)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                self._plan_batch_lane_program(W, max_scp)
+            )
+        return self._compiled[key](
+            jnp.asarray(starts, self.dtype), jnp.asarray(ends, self.dtype)
+        )
+
+    def run_batch_lane_sharded(
+        self, starts, ends, waypoints: int, mesh,
+        axis: Optional[str] = None, max_scp: Optional[int] = None,
+    ):
+        """:meth:`run_batch_lane` scaled out over ``mesh[axis]`` — the
+        planner-layer DP scale-out (SURVEY.md §2.3: one solver per problem,
+        ``gomp-solver.h:61-64``, sharded over chips/hosts).  The batch axis
+        of ``starts``/``ends`` splits across the mesh with ``shard_map``;
+        each device runs the SAME masked-SCP program on its shard with its
+        own while-loop (zero collectives inside the solve, so scaling is
+        near-linear like :func:`parallel.batch.solve_batch_sharded`).
+
+        The batch size must divide by the axis size.  Returns exactly what
+        :meth:`run_batch_lane` returns.
+        """
+        from jax.sharding import PartitionSpec
+        from ..parallel.mesh import BATCH_AXIS
+
+        axis = BATCH_AXIS if axis is None else axis
+        W = int(waypoints)
+        assert W >= 4
+        max_scp = self.max_scp_iterations if max_scp is None else int(max_scp)
+        key = ("batch_lane_sharded", W, max_scp, mesh, axis)
+        if key not in self._compiled:
+            spec = PartitionSpec(axis)
+            fn = jax.shard_map(
+                self._plan_batch_lane_program(W, max_scp),
+                mesh=mesh,
+                in_specs=(spec, spec),
+                out_specs=(spec, spec, spec),
+                check_vma=False,
+            )
+            self._compiled[key] = jax.jit(fn)
+        return self._compiled[key](
+            jnp.asarray(starts, self.dtype), jnp.asarray(ends, self.dtype)
+        )
+
+    def _plan_batch_lane_program(self, W: int, max_scp: int):
+        """Build the traceable batched fixed-horizon program behind
+        :meth:`run_batch_lane` — shared by the single-device ``jit`` and
+        the ``shard_map`` wrapper (each device traces it per shard)."""
         from ..ops.admm_lane import solve_batched_lane
         from .trajectory_qp_lane import from_trailing
 
-        W, N = int(waypoints), self.n_dim
-        assert W >= 4
-        max_scp = self.max_scp_iterations if max_scp is None else int(max_scp)
+        N = self.n_dim
         balls, obstacles = self.balls, self.obstacles
         con3d = (
             jnp.asarray(self.con_3d.lower, self.dtype),
@@ -496,7 +567,10 @@ class GOMPSolver:
                 W, N, [b.is_gripper for b in balls], len(obstacles), self.dtype
             )
             qp = with_gomp_boxes(qp, start, end, *boxes)
-            return linearize_workspace(qp, balls, obstacles, con3d, warm), warm
+            return linearize_workspace(
+                qp, balls, obstacles, con3d, warm,
+                movable=pinned_movable_mask(W),
+            ), warm
 
         def plan_batch(starts, ends):
             # Trailing-batch container: assembly writes lane layout directly.
@@ -507,7 +581,8 @@ class GOMPSolver:
             m = from_trailing(qp_t, row_layout="waypoint").l.shape[0]
             lin_b = jax.vmap(
                 lambda qp, xi: linearize_workspace(
-                    qp, balls, obstacles, con3d, xi
+                    qp, balls, obstacles, con3d, xi,
+                    movable=pinned_movable_mask(W),
                 ),
                 in_axes=-1,
                 out_axes=-1,
@@ -548,19 +623,22 @@ class GOMPSolver:
             _, x, _, status, ok, _, k = jax.lax.while_loop(
                 cond, body, (qp_t, x, y0, status0, done0, done0, k0)
             )
+            # run_horizon's status ladder (planner.py:177-187): inaccurate
+            # acceptances stay visible instead of being promoted.
             final_status = jnp.where(
-                ok, ExitCode.kOptimal, ExitCode.kUnknown
+                ok,
+                jnp.where(
+                    status == ExitCode.kOptimalInaccurate,
+                    jnp.int32(ExitCode.kOptimalInaccurate),
+                    jnp.int32(ExitCode.kOptimal),
+                ),
+                jnp.int32(ExitCode.kUnknown),
             ).astype(jnp.int32)
             half = W * N
             x = jnp.concatenate([x[:half], x[half:] / self.time_step], axis=0)
             return final_status, x.T, k
 
-        key = ("batch_lane", W, max_scp)
-        if key not in self._compiled:
-            self._compiled[key] = jax.jit(plan_batch)
-        return self._compiled[key](
-            jnp.asarray(starts, self.dtype), jnp.asarray(ends, self.dtype)
-        )
+        return plan_batch
 
     def run_batch_padded(self, starts, ends, max_scp: Optional[int] = None,
                          warm_duals: bool = False):
@@ -599,13 +677,65 @@ class GOMPSolver:
         (and thus trajectories, within tolerance) differ from the
         reference semantics, so it is opt-in.
         """
+        max_scp = self.max_scp_iterations if max_scp is None else int(max_scp)
+        key = ("batch_padded", max_scp, bool(warm_duals))
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(
+                self._plan_batch_padded_program(max_scp, bool(warm_duals))
+            )
+        return self._compiled[key](
+            jnp.asarray(starts, self.dtype), jnp.asarray(ends, self.dtype)
+        )
+
+    def run_batch_padded_sharded(
+        self, starts, ends, mesh, axis: Optional[str] = None,
+        max_scp: Optional[int] = None, warm_duals: bool = False,
+    ):
+        """:meth:`run_batch_padded` — the flagship FULL time-scaling search —
+        scaled out over ``mesh[axis]`` (VERDICT r4 next #1).  The query
+        batch shards across the mesh with ``shard_map``; each device runs
+        the whole 10-segment descent for its shard inside its own masked
+        while-loops.  No collectives are emitted inside the program (the
+        queries are independent — the reference's one-solver-per-problem
+        pattern, ``gomp-solver.h:61-64``), so throughput scales with the
+        device count like the solver-layer
+        :func:`parallel.batch.solve_batch_sharded`.
+
+        The batch size must divide by the axis size.  Returns exactly what
+        :meth:`run_batch_padded` returns; per-query results are
+        bit-comparable to the single-device path (pinned by
+        ``tests/test_planner_sharded.py``).
+        """
+        from jax.sharding import PartitionSpec
+        from ..parallel.mesh import BATCH_AXIS
+
+        axis = BATCH_AXIS if axis is None else axis
+        max_scp = self.max_scp_iterations if max_scp is None else int(max_scp)
+        key = ("batch_padded_sharded", max_scp, bool(warm_duals), mesh, axis)
+        if key not in self._compiled:
+            spec = PartitionSpec(axis)
+            fn = jax.shard_map(
+                self._plan_batch_padded_program(max_scp, bool(warm_duals)),
+                mesh=mesh,
+                in_specs=(spec, spec),
+                out_specs=(spec,) * 5,
+                check_vma=False,
+            )
+            self._compiled[key] = jax.jit(fn)
+        return self._compiled[key](
+            jnp.asarray(starts, self.dtype), jnp.asarray(ends, self.dtype)
+        )
+
+    def _plan_batch_padded_program(self, max_scp: int, warm_duals: bool):
+        """Build the traceable full-search program behind
+        :meth:`run_batch_padded` — shared by the single-device ``jit`` and
+        the ``shard_map`` scale-out."""
         from ..ops.admm_lane import solve_batched_lane
         from .trajectory import calc_warm_start_masked
         from .trajectory_qp import with_gomp_boxes_masked, with_horizon_mask
         from .trajectory_qp_lane import from_trailing
 
         W, N = self.max_waypoints, self.n_dim
-        max_scp = self.max_scp_iterations if max_scp is None else int(max_scp)
         balls, obstacles = self.balls, self.obstacles
         con3d = (
             jnp.asarray(self.con_3d.lower, self.dtype),
@@ -627,7 +757,8 @@ class GOMPSolver:
             qp = with_horizon_mask(qp, wa)
             qp = with_gomp_boxes_masked(qp, start, end, *boxes, wa)
             return linearize_workspace(
-                qp, balls, obstacles, con3d, warm, w_active=wa
+                qp, balls, obstacles, con3d, warm, w_active=wa,
+                movable=pinned_movable_mask(W, wa),
             )
 
         def slice_warm_one(sol, w_prev, wa):
@@ -662,7 +793,8 @@ class GOMPSolver:
 
             lin_b = jax.vmap(
                 lambda qp, xi, wa: linearize_workspace(
-                    qp, balls, obstacles, con3d, xi, w_active=wa
+                    qp, balls, obstacles, con3d, xi, w_active=wa,
+                    movable=pinned_movable_mask(W, wa),
                 ),
                 in_axes=(-1, -1, None),
                 out_axes=-1,
@@ -772,12 +904,7 @@ class GOMPSolver:
             out = jnp.concatenate([q, v / self.time_step], axis=1)
             return last_code, out, last_w, total_scp, total_it
 
-        key = ("batch_padded", max_scp, bool(warm_duals))
-        if key not in self._compiled:
-            self._compiled[key] = jax.jit(plan_batch)
-        return self._compiled[key](
-            jnp.asarray(starts, self.dtype), jnp.asarray(ends, self.dtype)
-        )
+        return plan_batch
 
     def _is_solution_ok_masked_fn(self, W):
         """Masked-horizon exact-FK feasibility (``gomp-solver.h:141-199``)
@@ -837,7 +964,10 @@ class GOMPSolver:
             jnp.asarray(self.con_3d.lower, self.dtype),
             jnp.asarray(self.con_3d.upper, self.dtype),
         )
-        qp = linearize_workspace(qp, self.balls, self.obstacles, con3d, warm)
+        qp = linearize_workspace(
+            qp, self.balls, self.obstacles, con3d, warm,
+            movable=pinned_movable_mask(W),
+        )
         return ops_session.setup(qp, settings, warm_x=warm)
 
     def _is_solution_ok_fn(self, W):
