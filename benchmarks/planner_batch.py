@@ -164,13 +164,19 @@ def main():
         sync(tr)
         log(f"[{name}] compile+first: {time.time()-t0:.1f}s")
         n_opt = int(np.sum(np.asarray(st) == 0))
+        # In --full mode `it` is run_batch_padded's scp_rounds (total SCP
+        # re-linearizations across ALL segments), not the per-solve SCP
+        # iteration count the fixed-horizon paths report — label it so the
+        # JSON lines are comparable across modes.
+        it_label = "scp_rounds" if args.full else "scp iters"
         log(
-            f"[{name}] optimal {n_opt}/{B}, scp iters p50="
+            f"[{name}] optimal {n_opt}/{B}, {it_label} p50="
             f"{int(np.median(it))} max={int(np.max(it))}"
         )
         if args.full:
             horizons = np.asarray(out[2])
             admm_it = np.asarray(out[4])
+            results["scp_rounds_p50"] = int(np.median(it))
             log(
                 f"[{name}] winning horizon p50={int(np.median(horizons))} "
                 f"min={int(np.min(horizons))} max={int(np.max(horizons))} "

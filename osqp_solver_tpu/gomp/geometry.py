@@ -124,7 +124,7 @@ class HorizontalLine:
             points, radius
         )
 
-    def linearize_rows(self, points, jac, jq, radius):
+    def linearize_rows(self, points, jac, jq, radius, movable=None):
         """One linearized collision row per waypoint, vectorized — the
         ``constraint-builder.h:246-267`` Z-row semantics: bound the ball's
         Z (via ``J_z``) above/below the line height at the closest point
@@ -133,8 +133,10 @@ class HorizontalLine:
 
         ``points``: ``(W, 3)`` ball positions at the linearization point;
         ``jac``: ``(W, 3, N)`` ball Jacobians; ``jq``: ``(W, 3)`` per-axis
-        ``J·q0``.  Returns ``(row_jac (W, N), low (W,), upp (W,))`` with
-        the ±``radius`` ball tightening applied."""
+        ``J·q0``.  ``movable`` (protocol-optional) is ignored: the Z-row
+        is absolute — a waypoint clear on its required side satisfies its
+        own row, pinned or not.  Returns ``(row_jac (W, N), low (W,),
+        upp (W,))`` with the ±``radius`` ball tightening applied."""
         coll = self.has_collision(points, radius)  # (W,)
         bound = (
             self.closest_point(points)[..., 2] - points[..., 2] + jq[..., 2]
@@ -180,27 +182,149 @@ class SphereObstacle:
         """Euclidean distance from ``p`` (``(..., 3)``) to the center."""
         return jnp.linalg.norm(p - self.center, axis=-1)
 
-    def violates(self, points, radius):
-        """Ball at a waypoint penetrates the keep-out sphere (with the
-        reference's ``ERROR`` feasibility slack)."""
-        return self.distance(points) < self.radius + radius - ERROR
+    def segment_closest(self, points):
+        """Closest approach of each trajectory segment ``[p_t, p_{t+1}]``
+        to the center: ``(rel (W-1, 3), dist (W-1,))`` with ``rel`` from
+        the center to the segment's closest point.  The sphere analogue of
+        the line's adjacent-segment-crossing test
+        (``horizontal-line.h:78-92``): between-waypoint tunneling is
+        caught here, not just waypoint penetration."""
+        a, b = points[:-1], points[1:]
+        d = b - a
+        denom = jnp.maximum(jnp.sum(d * d, axis=-1), 1e-18)
+        t = jnp.clip(
+            jnp.sum((self.center - a) * d, axis=-1) / denom, 0.0, 1.0
+        )
+        rel = a + t[..., None] * d - self.center
+        return rel, jnp.linalg.norm(rel, axis=-1)
 
-    def linearize_rows(self, points, jac, jq, radius):
-        """Linearized keep-out row per waypoint: ``n·p ≥ n·c + R`` with
-        ``n = (p0 − c)/‖p0 − c‖`` (the supporting-hyperplane outer
-        approximation of the sphere at the linearization point), i.e.
-        ``(n·J)·q ≥ R + n·(c − p0) + (n·J)·q0``; rows are live inside the
-        ``margin``-inflated radius and dummy ``±INF`` (same coefficients)
+    def violates(self, points, radius):
+        """Ball at a waypoint penetrates the keep-out sphere, OR either
+        adjacent trajectory segment's closest approach does (the segment
+        discipline the line obstacle applies in ``has_collision``,
+        ``horizontal-line.h:78-92``) — with the reference's ``ERROR``
+        feasibility slack.  A 2-waypoint hop THROUGH the sphere is
+        therefore rejected even when both endpoints are clear."""
+        clear = self.radius + radius - ERROR
+        wp = self.distance(points) < clear
+        _, seg_dist = self.segment_closest(points)
+        seg = seg_dist < clear
+        pad = jnp.zeros((1,), bool)
+        return wp | jnp.concatenate([pad, seg]) | jnp.concatenate([seg, pad])
+
+    def linearize_rows(self, points, jac, jq, radius, movable=None):
+        """Linearized keep-out row per waypoint, with between-waypoint
+        tunneling handled (the sphere analogue of the line's
+        adjacent-segment discipline, ``horizontal-line.h:78-92``).
+
+        Two cut forms, selected per waypoint by whichever approach to the
+        sphere is closest:
+
+        * **own proximity** → the classic radial supporting-hyperplane
+          ``n·(p − c) ≥ R + r`` with ``n = (p0 − c)/‖p0 − c‖`` (fallback
+          ẑ at the exact center) — absolute: any waypoint clear of the
+          sphere satisfies its own row, so a pinned-but-clear start/end
+          never turns the QP infeasible;
+        * **interior segment crossing** (an adjacent segment's closest
+          approach, strictly between the endpoints, penetrates) → a
+          *relative* push ``n·J·q ≥ n·J·q0 + depth·lever`` along the
+          center→closest-point direction ``n`` (fallback: ⊥ to the chord),
+          where ``depth = R + r − d_seg`` is the penetration and ``lever ≈
+          1/(1 − t*)`` converts endpoint motion into crossing-point motion
+          (capped at 4).  Moving the endpoint by ``depth·lever`` along
+          ``n`` moves the chord's closest point clear — the cut actually
+          removes the tunnel instead of chasing it along the path.
+
+        ``movable``: optional ``(W,)`` bool — waypoints the QP can move
+        (the planner marks the pinned start/end ``q₀``/``q_{W−3}`` as
+        immovable).  Immovable waypoints never receive segment cuts (they
+        cannot honor a demanded motion — the burden falls entirely on the
+        segment's other endpoint); they keep the absolute radial cut,
+        which a clear pin satisfies.
+
+        Rows are live whenever the selected approach distance is inside
+        the ``margin``-inflated radius, dummy ``±INF`` (same coefficients)
         elsewhere.  Same signature/returns as
         :meth:`HorizontalLine.linearize_rows`."""
+        Wn = points.shape[0]
+        dt = points.dtype
         rel = points - self.center  # (W, 3)
         dist = jnp.linalg.norm(rel, axis=-1)  # (W,)
-        n = rel / jnp.maximum(dist, 1e-9)[..., None]  # (W, 3)
-        row = jnp.einsum("wa,wan->wn", n, jac)  # (W, N) = n·J
-        live = dist < self.radius + radius + self.margin
+        Rtot = self.radius + radius
+        gate = Rtot + self.margin
+        if movable is None:
+            movable = jnp.ones((Wn,), bool)
+
+        # --- own-proximity cut (absolute radial) ---------------------------
+        zhat = jnp.zeros_like(rel).at[..., 2].set(1.0)
+        n_own = jnp.where((dist > 1e-9)[:, None], rel, zhat)
+        n_own = n_own / jnp.maximum(
+            jnp.linalg.norm(n_own, axis=-1), 1e-9
+        )[:, None]
+        low_own = (
+            Rtot
+            - jnp.sum(n_own * rel, axis=-1)
+            + jnp.sum(n_own * jq, axis=-1)
+        )
+
+        # --- interior-crossing cuts (relative push) ------------------------
+        a, b = points[:-1], points[1:]
+        dvec = b - a
+        denom = jnp.maximum(jnp.sum(dvec * dvec, axis=-1), 1e-18)
+        t = jnp.clip(
+            jnp.sum((self.center - a) * dvec, axis=-1) / denom, 0.0, 1.0
+        )
+        rel_s = a + t[:, None] * dvec - self.center  # (W-1, 3)
+        d_seg = jnp.linalg.norm(rel_s, axis=-1)
+        interior = (t > 1e-3) & (t < 1.0 - 1e-3)
+        # push direction: center → closest point; through-center fallback:
+        # ⊥ to the chord (horizontal), then ŷ
+        perp = jnp.cross(dvec, zhat[:-1])
+        yhat = jnp.zeros_like(rel_s).at[..., 1].set(1.0)
+        n_seg = jnp.where(
+            (d_seg > 1e-9)[:, None],
+            rel_s,
+            jnp.where(
+                (jnp.linalg.norm(perp, axis=-1) > 1e-9)[:, None], perp, yhat
+            ),
+        )
+        n_seg = n_seg / jnp.maximum(
+            jnp.linalg.norm(n_seg, axis=-1), 1e-9
+        )[:, None]
+        depth = Rtot - d_seg  # (W-1,) > 0 iff the chord penetrates
+        lev_a = 1.0 / jnp.clip(1.0 - t, 0.25, 1.0)
+        lev_b = 1.0 / jnp.clip(t, 0.25, 1.0)
+
+        inf1 = jnp.full((1,), jnp.inf, dist.dtype)
+        zero1 = jnp.zeros((1, 3), rel.dtype)
+        seg_d_eff = jnp.where(interior, d_seg, jnp.inf)
+        # prev candidate of waypoint w: segment w-1, endpoint b (lever 1/t)
+        prev_d = jnp.concatenate([inf1, seg_d_eff])
+        prev_n = jnp.concatenate([zero1, n_seg])
+        prev_push = jnp.concatenate([inf1 * 0, depth * lev_b])
+        # next candidate of waypoint w: segment w, endpoint a (lever 1/(1-t))
+        next_d = jnp.concatenate([seg_d_eff, inf1])
+        next_n = jnp.concatenate([n_seg, zero1])
+        next_push = jnp.concatenate([depth * lev_a, inf1 * 0])
+        # immovable waypoints cannot honor a demanded motion
+        prev_d = jnp.where(movable, prev_d, jnp.inf)
+        next_d = jnp.where(movable, next_d, jnp.inf)
+
+        use_prev = prev_d < jnp.minimum(dist, next_d)
+        use_next = (~use_prev) & (next_d < dist)
+        n = jnp.where(
+            use_prev[:, None],
+            prev_n,
+            jnp.where(use_next[:, None], next_n, n_own),
+        )
+        push = jnp.where(use_prev, prev_push, jnp.where(use_next, next_push, 0.0))
         rq0 = jnp.sum(n * jq, axis=-1)  # (n·J)·q0
-        bound = self.radius - dist + rq0
-        low = jnp.where(live, bound, -INF) + radius
+        low_seg = rq0 + push
+        low_sel = jnp.where(use_prev | use_next, low_seg, low_own)
+        dmin = jnp.minimum(dist, jnp.minimum(prev_d, next_d))
+        live = dmin < gate
+        row = jnp.einsum("wa,wan->wn", n, jac)  # (W, N) = n·J
+        low = jnp.where(live, low_sel, -INF)
         upp = jnp.full_like(low, INF)
         return row, low, upp
 

@@ -653,6 +653,18 @@ def with_gomp_boxes(
     )
 
 
+def pinned_movable_mask(W: int, w_active=None):
+    """``(W,)`` bool: which waypoints the GOMP QP can actually move —
+    everything except the pinned ``q₀`` (start) and ``q_{wa−3}`` (end, the
+    reference quirk, ``gomp-solver.h:131,133``).  Fed to
+    :func:`linearize_workspace`'s ``movable`` so relative obstacle cuts
+    (sphere tunneling pushes) never demand motion from a pin.  ``w_active``
+    may be traced (the padded planner paths)."""
+    idx = jnp.arange(W)
+    wa = W if w_active is None else jnp.asarray(w_active, jnp.int32)
+    return ~((idx == 0) | (idx == wa - 3))
+
+
 def with_horizon_mask(qp: TrajectoryQP, w_active) -> TrajectoryQP:
     """Restrict a ``W_max``-shaped empty QP to an *active prefix* of
     ``w_active`` waypoints (``w_active`` may be a traced scalar).
@@ -759,6 +771,7 @@ def linearize_workspace(
     con_3d,
     trajectory,
     w_active=None,
+    movable=None,
 ) -> TrajectoryQP:
     """SCP linearization of workspace + obstacle constraints — the jitted
     equivalent of ``withObstacles`` (``constraint-builder.h:90-122``) plus the
@@ -772,6 +785,13 @@ def linearize_workspace(
     :class:`~osqp_solver_tpu.gomp.geometry.HorizontalLine` (length must equal
     ``qp.n_obstacles``).  ``con_3d``: ``(lower, upper)`` pair of 3-vectors.
     Only the position half of ``trajectory`` is read (``tests/test.cpp:403-448``).
+
+    ``movable``: optional ``(W,)`` bool mask of waypoints the QP can move,
+    forwarded to each obstacle's ``linearize_rows`` — the planner marks
+    its pinned ``q₀``/``q_{W−3}`` endpoints immovable so relative
+    (tunneling) cuts never demand motion from a pinned waypoint (see
+    :meth:`SphereObstacle.linearize_rows`).  ``None`` (the default, and
+    the dense parity builder's behavior) treats every waypoint as movable.
     """
     W, N = qp.waypoints, qp.n_dim
     dt_ = qp.ws_l.dtype
@@ -828,7 +848,9 @@ def linearize_workspace(
             # row per waypoint — constraint-builder.h:246-267 Z-row for
             # HorizontalLine, supporting-hyperplane row for SphereObstacle;
             # dummy (±INF) rows share coefficients (:108-117).
-            ojac, low, upp = line.linearize_rows(points, jac, jq, r)
+            ojac, low, upp = line.linearize_rows(
+                points, jac, jq, r, movable=movable
+            )
             if act is not None:
                 ojac = ojac * act[:, None].astype(dt_)
                 low = jnp.where(act, low, -INF)
