@@ -663,6 +663,22 @@ def solve_batched_lane(
     return result
 
 
+_STREAM_VALUES = ("none", "f16", "bf16")
+
+
+def _validate_stream_settings(settings: Settings) -> None:
+    """Fail fast on invalid factor-stream settings (advisor r4): a typo'd
+    value would otherwise surface as a bare KeyError deep inside
+    ``_round_factor``/``_solve_core``."""
+    for name in ("factor_round", "factor_warmup_stream"):
+        val = getattr(settings, name)
+        if val not in _STREAM_VALUES:
+            raise ValueError(
+                f"Settings.{name}={val!r}: allowed values are "
+                f"{_STREAM_VALUES}"
+            )
+
+
 def build_const_packs(scaled, scaling: Scaling):
     """Bounds-independent kernel constants for :func:`_solve_core`.
 
@@ -723,7 +739,22 @@ def _solve_core(
     )
     from .kkt_factor_pallas import factor_packed_lane, factor_packed_supported
 
+    _validate_stream_settings(settings)
     use_fused = fused_chunk_supported(scaled, settings)
+    if (
+        use_fused
+        and settings.factor_warmup_stream == "f16"
+        and jax.default_backend() != "cpu"
+    ):
+        # Advisor r4: without this guard a TPU user opting into "f16" gets
+        # an opaque Mosaic kernel-compile failure instead of the documented
+        # unsupported-combination message (Settings.factor_warmup_stream:
+        # Mosaic has no IEEE float16).
+        raise NotImplementedError(
+            "factor_warmup_stream='f16' is not supported on the TPU fused "
+            "chunk path (Mosaic has no IEEE float16). Use 'bf16' (a "
+            "measured negative — see Settings) or 'none'."
+        )
     use_packed_factor = use_fused and factor_packed_supported(scaled)
     use_term_fused = term_fused_supported(scaled, settings)
     # Gain-free factor form (Settings.factor_form="hrec"): the packed

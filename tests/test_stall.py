@@ -186,3 +186,16 @@ def test_stall_update_window_semantics():
     # ρ-adaptation re-arms problem 0's window
     st2 = admm._stall_reset(st, jnp.array([True, False]), s)
     assert float(st2.stall_ref[0]) == np.inf and int(st2.stall_k[0]) == 0
+
+
+def test_invalid_stream_settings_fail_fast():
+    """Advisor r4: typo'd factor_round / factor_warmup_stream values raise
+    a clear ValueError naming the setting, not a KeyError deep inside
+    _round_factor."""
+    from tests.test_admm_lane import build_batch
+
+    qps = build_batch(honest=False)
+    for name in ("factor_round", "factor_warmup_stream"):
+        s = dataclasses.replace(Settings(), **{name: "fp8"})
+        with pytest.raises(ValueError, match=name):
+            admm_lane.solve_batched_lane(qps, s)
