@@ -56,6 +56,12 @@ def main():
         "with ~10x the query throughput",
     )
     ap.add_argument(
+        "--stall-checks", type=int, default=None,
+        help="override Settings.stall_checks (default 12; 0 restores exact "
+        "OSQP give-up semantics — the pre-round-5 behaviour where the "
+        "marginal segment grinds to max_iter)",
+    )
+    ap.add_argument(
         "--robot", choices=("ur5e", "ur10e", "iiwa14"), default="ur5e",
         help="arm model: the reference's UR5e (analytic module) or a "
         "generic-DH preset (models/dh_robot.py) — iiwa14 is 7-DOF",
@@ -119,6 +125,8 @@ def main():
         overrides["scaling"] = args.scaling
     if args.max_iter is not None:
         overrides["max_iter"] = args.max_iter
+    if args.stall_checks is not None:
+        overrides["stall_checks"] = args.stall_checks
     settings = dataclasses.replace(Settings(), **overrides)
 
     solver = GOMPSolver(
