@@ -306,6 +306,61 @@ def main():
         f"inside the same wall-clock, so this is a floor on total traffic"
     )
 
+    # Flagship full-search secondary (round 5): the reference's complete
+    # run(start, end) time-scaling semantics (gomp-solver.h:38-55) at STOCK
+    # solver settings — the in-solver stall detector (Settings.stall_checks,
+    # default ON) gives the no-knob rate (BASELINE.md round-5 A/B: 4,783 q/s
+    # vs 460 with stall_checks=0, plans identical).  Guarded: a failure here
+    # never takes down the headline metric.
+    full_qps = full_iters_p50 = None
+    try:
+        from osqp_solver_tpu import GOMPSolver, constraints as C
+        from osqp_solver_tpu.models import ur5e
+        from osqp_solver_tpu.ops.status import ExitCode
+
+        FB, FW, INF = 1024, 50, 1e30
+        fsolver = GOMPSolver(
+            max_waypoints=FW,
+            time_step=0.1,
+            settings=dataclasses.replace(
+                admm.Settings(), rho=0.04, check_termination=3, scaling=3
+            ),
+            pos_con=C.in_range(N, -2 * np.pi, 2 * np.pi),
+            vel_con=C.in_range(N, -np.pi, np.pi),
+            acc_con=C.in_range(N, -800 * np.pi / 180, 800 * np.pi / 180),
+            con_3d=C.Constraint(
+                lower=np.array([-INF, -0.4, -INF]), upper=np.full(3, INF)
+            ),
+            obstacles=[],
+            balls=[
+                ur5e.make_ball("back6", 0.15),
+                ur5e.make_ball("tool", 0.05, is_gripper=True),
+            ],
+            segments=10,
+            dtype=dtype,
+        )
+        frng = np.random.default_rng(0)
+        fstarts = 0.02 * frng.standard_normal((FB, N))
+        fends = np.array([np.pi, 0, 0, 0, 0, 0.0])[None] + 0.02 * frng.standard_normal((FB, N))
+        t0f = time.time()
+        fout = fsolver.run_batch_padded(fstarts, fends)
+        sync(fout[1])
+        log(f"[full-search secondary] compile+first: {time.time() - t0f:.1f}s")
+        n_opt = int(np.sum(np.asarray(fout[0]) == int(ExitCode.kOptimal)))
+        t0f = time.time()
+        fouts = [fsolver.run_batch_padded(fstarts, fends) for _ in range(3)]
+        sync(fouts[-1][1])
+        fdt = (time.time() - t0f) / 3
+        full_qps = n_opt / fdt
+        full_iters_p50 = int(np.median(np.asarray(fout[4])))
+        log(
+            f"[full-search secondary] optimal {n_opt}/{FB}, "
+            f"{fdt*1e3:.1f} ms/batch -> {full_qps:.0f} full queries/s "
+            f"at stock settings (stall detection, no max_iter knob)"
+        )
+    except Exception as e:  # pragma: no cover - diagnostics only
+        log(f"full-search secondary skipped: {type(e).__name__}: {e}")
+
     north_star_per_chip = 10000.0 / 8.0
     print(
         json.dumps(
@@ -318,6 +373,10 @@ def main():
                 ),
                 "vs_baseline": round(honest_qps / north_star_per_chip, 4),
                 "secondary_box_only_qps_per_sec": round(box_qps, 2),
+                "secondary_full_timescaling_queries_per_sec_stock": (
+                    round(full_qps, 1) if full_qps else None
+                ),
+                "full_search_admm_iters_p50": full_iters_p50,
                 "median_iterations": honest_iters,
                 "factor_solve_gflops": round(achieved / 1e9, 1),
                 "achieved_gbps": round(achieved_bytes / 1e9, 1),
