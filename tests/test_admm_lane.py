@@ -30,6 +30,10 @@ from osqp_solver_tpu.ops.admm_lane import (
 from osqp_solver_tpu.ops.ruiz import ruiz_equilibrate
 from osqp_solver_tpu.ops.status import ExitCode
 
+# Mid tier: solver+planner integration paths the quick tier skips
+# (pyproject `mid` marker; see CLAUDE.md).
+pytestmark = pytest.mark.mid
+
 quick = pytest.mark.quick  # fast tier: see CLAUDE.md
 
 W, N, B = 8, 3, 4

@@ -4,6 +4,12 @@ import pathlib
 import subprocess
 import sys
 
+import pytest
+
+# Mid tier: solver+planner integration paths the quick tier skips
+# (pyproject `mid` marker; see CLAUDE.md).
+pytestmark = pytest.mark.mid
+
 
 def test_example_runs_small(tmp_path):
     repo = pathlib.Path(__file__).resolve().parents[1]

@@ -14,6 +14,10 @@ from osqp_solver_tpu.gomp.planner import GOMPSolver
 from osqp_solver_tpu.models import ur5e
 from osqp_solver_tpu.ops.status import ExitCode
 
+# Mid tier: solver+planner integration paths the quick tier skips
+# (pyproject `mid` marker; see CLAUDE.md).
+pytestmark = pytest.mark.mid
+
 N = 3
 
 

@@ -10,6 +10,12 @@ from osqp_solver_tpu.ops.status import ExitCode
 
 from test_admm import check_kkt, random_qp
 
+import pytest
+
+# Mid tier: solver+planner integration paths the quick tier skips
+# (pyproject `mid` marker; see CLAUDE.md).
+pytestmark = pytest.mark.mid
+
 
 def test_session_solve_matches_direct():
     qp = random_qp(jax.random.PRNGKey(0), n=10, m=14)

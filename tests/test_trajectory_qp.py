@@ -24,6 +24,10 @@ from osqp_solver_tpu.ops.qp import DenseQP
 from osqp_solver_tpu.ops.status import ExitCode
 from osqp_solver_tpu.ops.tridiag import block_tridiag_to_dense
 
+# Mid tier: solver+planner integration paths the quick tier skips
+# (pyproject `mid` marker; see CLAUDE.md).
+pytestmark = pytest.mark.mid
+
 W, N = 6, 3
 RNG = np.random.default_rng(42)
 JACS = RNG.normal(size=(2, W, 3, N))  # fake per-waypoint jacobians per ball
