@@ -329,6 +329,32 @@ class SphereObstacle:
         return row, low, upp
 
 
+def stack_obstacles(obstacles):
+    """Stack ``B`` same-type obstacles into ONE batched pytree with a
+    leading per-problem axis on every leaf — the container the batched
+    planner paths accept for PER-QUERY obstacles
+    (``GOMPSolver.run_batch_padded(..., obstacles=[stacked, ...])``): a
+    fleet where every query has its own keep-out pose, all inside one
+    compiled program (leaf values are traced inputs — moving an obstacle
+    never recompiles).
+
+    ``obstacles``: sequence of ``B`` obstacles of the SAME dataclass type
+    (e.g. ``B`` :class:`SphereObstacle`\\ s at different centers).  Returns
+    one obstacle pytree whose leaves are ``(B, ...)`` stacks.
+    """
+    import jax
+
+    first = obstacles[0]
+    if any(type(o) is not type(first) for o in obstacles):
+        raise TypeError(
+            "stack_obstacles needs obstacles of one type per stack; got "
+            + ", ".join(sorted({type(o).__name__ for o in obstacles}))
+        )
+    return jax.tree_util.tree_map(
+        lambda *leaves: jnp.stack([jnp.asarray(l) for l in leaves]), *obstacles
+    )
+
+
 def stack_lines(lines) -> HorizontalLine:
     """Stack a list of ``HorizontalLine``s into one batched pytree with a
     leading obstacle axis, for ``vmap`` over obstacles."""

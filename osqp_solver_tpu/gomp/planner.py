@@ -391,12 +391,17 @@ class GOMPSolver:
 
     # ---------------------------------------------------------------- batch
 
-    def run_batch(self, starts, ends, waypoints: int, max_scp: Optional[int] = None):
+    def run_batch(self, starts, ends, waypoints: int, max_scp: Optional[int] = None,
+                  obstacles=None):
         """Batched fixed-horizon planner: one device program runs the whole
         SCP loop (solve → exact-FK check → re-linearize → update) for a batch
         of (start, end) queries with masked per-problem convergence — the
         production-scale path (thousands of trajectory queries per chip,
         SURVEY.md §2.3).
+
+        ``obstacles``: optional per-query obstacles (leaves with a leading
+        ``(B,)`` axis, ``geometry.stack_obstacles``) — see
+        :meth:`run_batch_lane`.
 
         Returns ``(statuses, trajectories, scp_iters)`` with velocities
         unscaled by dt; statuses are per-problem ``ExitCode`` ints with
@@ -409,7 +414,7 @@ class GOMPSolver:
         W, N = int(waypoints), self.n_dim
         assert W >= 4
         max_scp = self.max_scp_iterations if max_scp is None else int(max_scp)
-        balls, obstacles = self.balls, self.obstacles
+        balls = self.balls
         con3d = (
             jnp.asarray(self.con_3d.lower, self.dtype),
             jnp.asarray(self.con_3d.upper, self.dtype),
@@ -418,10 +423,15 @@ class GOMPSolver:
 
         starts = jnp.asarray(starts, self.dtype)
         ends = jnp.asarray(ends, self.dtype)
+        obs, per_query = self._obstacles_arg(obstacles, starts.shape[0])
+        obs_ax = 0 if per_query else None
+        is_ok1 = self._is_solution_ok_fn(W, per_query_obs=True)
 
-        def plan_one(start, end):
+        def plan_one(start, end, obstacles):
             warm = calc_warm_start_jnp(start, end, W)
-            sess = self._build_session(start, end, warm, W, settings)
+            sess = self._build_session(
+                start, end, warm, W, settings, obstacles=obstacles
+            )
 
             def cond(carry):
                 sess, x, status, ok, k = carry
@@ -435,7 +445,7 @@ class GOMPSolver:
             def body(carry):
                 sess, x, status, ok, k = carry
                 sess, res = ops_session.solve(sess, settings)
-                ok = self._is_solution_ok_fn(W)(res.x)
+                ok = is_ok1(res.x, obstacles)
                 new_qp = linearize_workspace(
                     sess.base, balls, obstacles, con3d, res.x,
                     movable=pinned_movable_mask(W),
@@ -467,13 +477,16 @@ class GOMPSolver:
             x = jnp.concatenate([x[:half], x[half:] / self.time_step])
             return final_status, x, k
 
-        key = ("batch", W, max_scp)
+        key = ("batch", W, max_scp, per_query)
         if key not in self._compiled:
-            self._compiled[key] = jax.jit(jax.vmap(plan_one))
-        return self._compiled[key](starts, ends)
+            self._compiled[key] = jax.jit(
+                jax.vmap(plan_one, in_axes=(0, 0, obs_ax))
+            )
+        return self._compiled[key](starts, ends, obs)
 
     def run_batch_lane(
-        self, starts, ends, waypoints: int, max_scp: Optional[int] = None
+        self, starts, ends, waypoints: int, max_scp: Optional[int] = None,
+        obstacles=None,
     ):
         """Batched fixed-horizon planner on the lane-major fused driver.
 
@@ -488,6 +501,14 @@ class GOMPSolver:
         the batch keeps iterating (re-solves of frozen problems are
         discarded — the batch is done when every problem is).
 
+        ``obstacles``: optional PER-QUERY obstacles — a sequence matching
+        the constructor's obstacle count whose pytree leaves carry a
+        leading ``(B,)`` per-problem axis (``geometry.stack_obstacles``):
+        every query is planned against its OWN obstacle poses inside the
+        same compiled program (leaf values are traced — moving an obstacle
+        never recompiles).  ``None`` → the constructor's obstacles, shared
+        by the whole batch.
+
         Returns ``(statuses, trajectories, scp_iters)`` exactly like
         :meth:`run_batch` (same status ladder, inaccurate acceptances
         included).
@@ -495,18 +516,21 @@ class GOMPSolver:
         W = int(waypoints)
         assert W >= 4
         max_scp = self.max_scp_iterations if max_scp is None else int(max_scp)
-        key = ("batch_lane", W, max_scp)
+        starts = jnp.asarray(starts, self.dtype)
+        obs, per_query = self._obstacles_arg(obstacles, starts.shape[0])
+        key = ("batch_lane", W, max_scp, per_query)
         if key not in self._compiled:
             self._compiled[key] = jax.jit(
-                self._plan_batch_lane_program(W, max_scp)
+                self._plan_batch_lane_program(W, max_scp, per_query)
             )
         return self._compiled[key](
-            jnp.asarray(starts, self.dtype), jnp.asarray(ends, self.dtype)
+            starts, jnp.asarray(ends, self.dtype), obs
         )
 
     def run_batch_lane_sharded(
         self, starts, ends, waypoints: int, mesh,
         axis: Optional[str] = None, max_scp: Optional[int] = None,
+        obstacles=None,
     ):
         """:meth:`run_batch_lane` scaled out over ``mesh[axis]`` — the
         planner-layer DP scale-out (SURVEY.md §2.3: one solver per problem,
@@ -515,6 +539,8 @@ class GOMPSolver:
         each device runs the SAME masked-SCP program on its shard with its
         own while-loop (zero collectives inside the solve, so scaling is
         near-linear like :func:`parallel.batch.solve_batch_sharded`).
+        Per-query ``obstacles`` (see :meth:`run_batch_lane`) shard with the
+        queries; constructor obstacles replicate.
 
         The batch size must divide by the axis size.  Returns exactly what
         :meth:`run_batch_lane` returns.
@@ -526,30 +552,70 @@ class GOMPSolver:
         W = int(waypoints)
         assert W >= 4
         max_scp = self.max_scp_iterations if max_scp is None else int(max_scp)
-        key = ("batch_lane_sharded", W, max_scp, mesh, axis)
+        starts = jnp.asarray(starts, self.dtype)
+        obs, per_query = self._obstacles_arg(obstacles, starts.shape[0])
+        key = ("batch_lane_sharded", W, max_scp, mesh, axis, per_query)
         if key not in self._compiled:
             spec = PartitionSpec(axis)
+            obs_spec = spec if per_query else PartitionSpec()
             fn = jax.shard_map(
-                self._plan_batch_lane_program(W, max_scp),
+                self._plan_batch_lane_program(W, max_scp, per_query),
                 mesh=mesh,
-                in_specs=(spec, spec),
+                in_specs=(spec, spec, obs_spec),
                 out_specs=(spec, spec, spec),
                 check_vma=False,
             )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key](
-            jnp.asarray(starts, self.dtype), jnp.asarray(ends, self.dtype)
+            starts, jnp.asarray(ends, self.dtype), obs
         )
 
-    def _plan_batch_lane_program(self, W: int, max_scp: int):
+    def _obstacles_arg(self, obstacles, B: int):
+        """Resolve the optional per-query ``obstacles`` argument of the
+        batched planner paths: ``None`` → the constructor's obstacles
+        (shared by every query, traced like any other program input);
+        otherwise a sequence matching the constructor's obstacle count
+        whose pytree leaves carry a leading ``(B,)`` per-problem axis
+        (build with :func:`~osqp_solver_tpu.gomp.geometry.stack_obstacles`).
+        Returns ``(obstacle_list, per_query: bool)``."""
+        if obstacles is None:
+            return list(self.obstacles), False
+        obstacles = list(obstacles)
+        if len(obstacles) != len(self.obstacles):
+            raise ValueError(
+                "per-query obstacles must match the constructor's obstacle "
+                f"count ({len(self.obstacles)}; the obstacle-row layout is "
+                f"static) — got {len(obstacles)}"
+            )
+        for o in obstacles:
+            for leaf in jax.tree_util.tree_leaves(o):
+                if jnp.ndim(leaf) < 1 or jnp.shape(leaf)[0] != B:
+                    raise ValueError(
+                        "per-query obstacle leaves need a leading batch "
+                        f"axis of size {B} (geometry.stack_obstacles); got "
+                        f"a leaf of shape {jnp.shape(leaf)}"
+                    )
+        return obstacles, True
+
+    def _plan_batch_lane_program(
+        self, W: int, max_scp: int, per_query_obs: bool = False
+    ):
         """Build the traceable batched fixed-horizon program behind
         :meth:`run_batch_lane` — shared by the single-device ``jit`` and
-        the ``shard_map`` wrapper (each device traces it per shard)."""
+        the ``shard_map`` wrapper (each device traces it per shard).
+
+        The program takes ``(starts, ends, obstacles)``; with
+        ``per_query_obs`` each obstacle pytree carries a leading ``(B,)``
+        per-problem axis on every leaf (``geometry.stack_obstacles``) and is
+        vmapped alongside the queries — one compiled program plans a fleet
+        where EVERY query has its own obstacle poses (traced values: moving
+        an obstacle never recompiles)."""
         from ..ops.admm_lane import solve_batched_lane
         from .trajectory_qp_lane import from_trailing
 
         N = self.n_dim
-        balls, obstacles = self.balls, self.obstacles
+        balls = self.balls
+        n_obs = len(self.obstacles)
         con3d = (
             jnp.asarray(self.con_3d.lower, self.dtype),
             jnp.asarray(self.con_3d.upper, self.dtype),
@@ -559,12 +625,13 @@ class GOMPSolver:
             (jnp.asarray(c.lower, self.dtype), jnp.asarray(c.upper, self.dtype))
             for c in (self.pos_con, self.vel_con, self.acc_con)
         )
-        is_ok1 = self._is_solution_ok_fn(W)
+        is_ok1 = self._is_solution_ok_fn(W, per_query_obs=True)
+        obs_ax = 0 if per_query_obs else None
 
-        def build_one(start, end):
+        def build_one(start, end, obstacles):
             warm = calc_warm_start_jnp(start, end, W)
             qp = empty_trajectory_qp(
-                W, N, [b.is_gripper for b in balls], len(obstacles), self.dtype
+                W, N, [b.is_gripper for b in balls], n_obs, self.dtype
             )
             qp = with_gomp_boxes(qp, start, end, *boxes)
             return linearize_workspace(
@@ -572,22 +639,24 @@ class GOMPSolver:
                 movable=pinned_movable_mask(W),
             ), warm
 
-        def plan_batch(starts, ends):
+        def plan_batch(starts, ends, obstacles):
             # Trailing-batch container: assembly writes lane layout directly.
-            qp_t, x = jax.vmap(build_one, out_axes=-1)(starts, ends)
+            qp_t, x = jax.vmap(
+                build_one, in_axes=(0, 0, obs_ax), out_axes=-1
+            )(starts, ends, obstacles)
             B = starts.shape[0]
             # Dual vectors live in the LANE row space (padded waypoint-major
             # rows), not the TrajectoryQP row space.
             m = from_trailing(qp_t, row_layout="waypoint").l.shape[0]
             lin_b = jax.vmap(
-                lambda qp, xi: linearize_workspace(
-                    qp, balls, obstacles, con3d, xi,
+                lambda qp, xi, obs: linearize_workspace(
+                    qp, balls, obs, con3d, xi,
                     movable=pinned_movable_mask(W),
                 ),
-                in_axes=-1,
+                in_axes=(-1, -1, obs_ax),
                 out_axes=-1,
             )
-            ok_b = jax.vmap(is_ok1, in_axes=-1)
+            ok_b = jax.vmap(is_ok1, in_axes=(-1, obs_ax))
 
             status0 = jnp.full((B,), ExitCode.kUnknown, jnp.int32)
             done0 = jnp.zeros((B,), bool)
@@ -611,13 +680,13 @@ class GOMPSolver:
                 xs = jnp.where(done, x, res.x.T)
                 y = jnp.where(done, y, res.y.T)
                 status = jnp.where(done, status, res.status).astype(jnp.int32)
-                ok = jnp.where(done, ok, ok_b(xs))
+                ok = jnp.where(done, ok, ok_b(xs, obstacles))
                 solvable = (status == ExitCode.kOptimal) | (
                     status == ExitCode.kOptimalInaccurate
                 )
                 k = k + jnp.where(done, 0, 1).astype(jnp.int32)
                 done = done | ok | ~solvable
-                qp_t = lin_b(qp_t, xs)
+                qp_t = lin_b(qp_t, xs, obstacles)
                 return qp_t, xs, y, status, ok, done, k
 
             _, x, _, status, ok, _, k = jax.lax.while_loop(
@@ -641,7 +710,7 @@ class GOMPSolver:
         return plan_batch
 
     def run_batch_padded(self, starts, ends, max_scp: Optional[int] = None,
-                         warm_duals: bool = False):
+                         warm_duals: bool = False, obstacles=None):
         """Batched FULL time-scaling planner — the reference's flagship
         ``run(start, end)`` semantics (``gomp-solver.h:38-55``: 10-segment
         horizon-shrinking search, warm-start slicing quirk included) vmapped
@@ -666,6 +735,14 @@ class GOMPSolver:
         ``(B,)`` total SCP re-linearizations / ADMM iterations across all
         segments (the cost telemetry of the full search).
 
+        ``obstacles``: optional PER-QUERY obstacles — a sequence matching
+        the constructor's obstacle count whose pytree leaves carry a
+        leading ``(B,)`` per-problem axis (``geometry.stack_obstacles``):
+        a fleet where every query has its own keep-out poses, inside the
+        same compiled program (traced values — moving an obstacle never
+        recompiles).  ``None`` → the constructor's obstacles for the
+        whole batch.
+
         ``warm_duals=True`` goes beyond the reference (which warm-starts
         primal-only across segments — ``SetPrimalWarmStart``,
         ``osqp-wrapper.h:45-47``): each segment's first solve starts from
@@ -678,18 +755,23 @@ class GOMPSolver:
         reference semantics, so it is opt-in.
         """
         max_scp = self.max_scp_iterations if max_scp is None else int(max_scp)
-        key = ("batch_padded", max_scp, bool(warm_duals))
+        starts = jnp.asarray(starts, self.dtype)
+        obs, per_query = self._obstacles_arg(obstacles, starts.shape[0])
+        key = ("batch_padded", max_scp, bool(warm_duals), per_query)
         if key not in self._compiled:
             self._compiled[key] = jax.jit(
-                self._plan_batch_padded_program(max_scp, bool(warm_duals))
+                self._plan_batch_padded_program(
+                    max_scp, bool(warm_duals), per_query
+                )
             )
         return self._compiled[key](
-            jnp.asarray(starts, self.dtype), jnp.asarray(ends, self.dtype)
+            starts, jnp.asarray(ends, self.dtype), obs
         )
 
     def run_batch_padded_sharded(
         self, starts, ends, mesh, axis: Optional[str] = None,
         max_scp: Optional[int] = None, warm_duals: bool = False,
+        obstacles=None,
     ):
         """:meth:`run_batch_padded` — the flagship FULL time-scaling search —
         scaled out over ``mesh[axis]`` (VERDICT r4 next #1).  The query
@@ -711,32 +793,47 @@ class GOMPSolver:
 
         axis = BATCH_AXIS if axis is None else axis
         max_scp = self.max_scp_iterations if max_scp is None else int(max_scp)
-        key = ("batch_padded_sharded", max_scp, bool(warm_duals), mesh, axis)
+        starts = jnp.asarray(starts, self.dtype)
+        obs, per_query = self._obstacles_arg(obstacles, starts.shape[0])
+        key = (
+            "batch_padded_sharded", max_scp, bool(warm_duals), mesh, axis,
+            per_query,
+        )
         if key not in self._compiled:
             spec = PartitionSpec(axis)
+            obs_spec = spec if per_query else PartitionSpec()
             fn = jax.shard_map(
-                self._plan_batch_padded_program(max_scp, bool(warm_duals)),
+                self._plan_batch_padded_program(
+                    max_scp, bool(warm_duals), per_query
+                ),
                 mesh=mesh,
-                in_specs=(spec, spec),
+                in_specs=(spec, spec, obs_spec),
                 out_specs=(spec,) * 5,
                 check_vma=False,
             )
             self._compiled[key] = jax.jit(fn)
         return self._compiled[key](
-            jnp.asarray(starts, self.dtype), jnp.asarray(ends, self.dtype)
+            starts, jnp.asarray(ends, self.dtype), obs
         )
 
-    def _plan_batch_padded_program(self, max_scp: int, warm_duals: bool):
+    def _plan_batch_padded_program(
+        self, max_scp: int, warm_duals: bool, per_query_obs: bool = False
+    ):
         """Build the traceable full-search program behind
         :meth:`run_batch_padded` — shared by the single-device ``jit`` and
-        the ``shard_map`` scale-out."""
+        the ``shard_map`` scale-out.  Takes ``(starts, ends, obstacles)``;
+        with ``per_query_obs`` every obstacle pytree carries a leading
+        ``(B,)`` per-problem axis (``geometry.stack_obstacles``) and each
+        query runs the whole time-scaling descent against its OWN obstacle
+        poses."""
         from ..ops.admm_lane import solve_batched_lane
         from .trajectory import calc_warm_start_masked
         from .trajectory_qp import with_gomp_boxes_masked, with_horizon_mask
         from .trajectory_qp_lane import from_trailing
 
         W, N = self.max_waypoints, self.n_dim
-        balls, obstacles = self.balls, self.obstacles
+        balls = self.balls
+        n_obs = len(self.obstacles)
         con3d = (
             jnp.asarray(self.con_3d.lower, self.dtype),
             jnp.asarray(self.con_3d.upper, self.dtype),
@@ -746,13 +843,14 @@ class GOMPSolver:
             (jnp.asarray(c.lower, self.dtype), jnp.asarray(c.upper, self.dtype))
             for c in (self.pos_con, self.vel_con, self.acc_con)
         )
-        is_ok1 = self._is_solution_ok_masked_fn(W)
+        is_ok1 = self._is_solution_ok_masked_fn(W, per_query_obs=True)
+        obs_ax = 0 if per_query_obs else None
         segments = self.segments
         WN = W * N
 
-        def build_one(start, end, warm, wa):
+        def build_one(start, end, warm, wa, obstacles):
             qp = empty_trajectory_qp(
-                W, N, [b.is_gripper for b in balls], len(obstacles), self.dtype
+                W, N, [b.is_gripper for b in balls], n_obs, self.dtype
             )
             qp = with_horizon_mask(qp, wa)
             qp = with_gomp_boxes_masked(qp, start, end, *boxes, wa)
@@ -780,7 +878,7 @@ class GOMPSolver:
             out_v = jnp.where(j < wn, compact_at(wn + j), 0.0)
             return jnp.concatenate([out_q, out_v])
 
-        def plan_batch(starts, ends):
+        def plan_batch(starts, ends, obstacles):
             B = starts.shape[0]
             warm0 = jax.vmap(
                 lambda s, e: calc_warm_start_masked(s, e, W, W)
@@ -792,22 +890,22 @@ class GOMPSolver:
             total_scp = jnp.zeros((B,), jnp.int32)
 
             lin_b = jax.vmap(
-                lambda qp, xi, wa: linearize_workspace(
-                    qp, balls, obstacles, con3d, xi, w_active=wa,
+                lambda qp, xi, wa, obs: linearize_workspace(
+                    qp, balls, obs, con3d, xi, w_active=wa,
                     movable=pinned_movable_mask(W, wa),
                 ),
-                in_axes=(-1, -1, None),
+                in_axes=(-1, -1, None, obs_ax),
                 out_axes=-1,
             )
-            ok_b = jax.vmap(is_ok1, in_axes=(-1, None))
+            ok_b = jax.vmap(is_ok1, in_axes=(-1, None, obs_ax))
 
             def scp_segment(warm, run_mask, wa, y0):
                 """One masked SCP loop at traced horizon ``wa`` — the
                 batched ``run_horizon_padded``.  Returns (x (2WN, B),
                 y (m, B), ok, solver_status, rounds, admm_iters)."""
                 qp_t = jax.vmap(
-                    build_one, in_axes=(0, 0, 0, None), out_axes=-1
-                )(starts, ends, warm, wa)
+                    build_one, in_axes=(0, 0, 0, None, obs_ax), out_axes=-1
+                )(starts, ends, warm, wa, obstacles)
                 x0 = warm.T  # (2WN, B)
                 status0 = jnp.full((B,), ExitCode.kUnknown, jnp.int32)
                 ok0 = jnp.zeros((B,), bool)
@@ -832,13 +930,13 @@ class GOMPSolver:
                     it = it + jnp.where(done, 0, res.iterations).astype(
                         jnp.int32
                     )
-                    ok = jnp.where(done, ok, ok_b(xs, wa))
+                    ok = jnp.where(done, ok, ok_b(xs, wa, obstacles))
                     solvable = (status == ExitCode.kOptimal) | (
                         status == ExitCode.kOptimalInaccurate
                     )
                     k = k + jnp.where(done, 0, 1).astype(jnp.int32)
                     done = done | ok | ~solvable
-                    qp_t = lin_b(qp_t, xs, wa)
+                    qp_t = lin_b(qp_t, xs, wa, obstacles)
                     return qp_t, xs, y, status, ok, done, k, it
 
                 _, x, y, status, ok, _, k, it = jax.lax.while_loop(
@@ -882,12 +980,12 @@ class GOMPSolver:
             # Dual container shape, shape-only (no compute): the lane's
             # padded row count at any horizon (static across segments).
             m = jax.eval_shape(
-                lambda s, e, w: from_trailing(
-                    jax.vmap(build_one, in_axes=(0, 0, 0, None),
-                             out_axes=-1)(s, e, w, jnp.int32(W)),
+                lambda s, e, w, obs: from_trailing(
+                    jax.vmap(build_one, in_axes=(0, 0, 0, None, obs_ax),
+                             out_axes=-1)(s, e, w, jnp.int32(W), obs),
                     row_layout="waypoint",
                 ).l,
-                starts, ends, warm0,
+                starts, ends, warm0, obstacles,
             ).shape[0]
             y_init = jnp.zeros((m, B), starts.dtype)
 
@@ -906,16 +1004,18 @@ class GOMPSolver:
 
         return plan_batch
 
-    def _is_solution_ok_masked_fn(self, W):
+    def _is_solution_ok_masked_fn(self, W, per_query_obs: bool = False):
         """Masked-horizon exact-FK feasibility (``gomp-solver.h:141-199``)
-        with the SoA ball evaluator where available: ``is_ok(x, wa)``."""
+        with the SoA ball evaluator where available: ``is_ok(x, wa)`` — or
+        ``is_ok(x, wa, obstacles)`` when ``per_query_obs`` (the batched
+        per-query-obstacle planner paths)."""
         N = self.n_dim
         con3d = (
             jnp.asarray(self.con_3d.lower, self.dtype),
             jnp.asarray(self.con_3d.upper, self.dtype),
         )
 
-        def is_ok(x, wa):
+        def is_ok_core(x, wa, obstacles):
             act = jnp.arange(W) < wa
             q = x[: W * N].reshape(W, N)
             ok = jnp.array(True)
@@ -936,16 +1036,23 @@ class GOMPSolver:
                         act[:, None], pts + r <= con3d[1][None, :] + ERROR,
                         True,
                     ))
-                for line in self.obstacles:
+                for line in obstacles:
                     ok &= jnp.all(
                         jnp.where(act, ~line.violates(pts, r), True)
                     )
             return ok
 
-        return is_ok
+        if per_query_obs:
+            return is_ok_core
+        return lambda x, wa: is_ok_core(x, wa, self.obstacles)
 
-    def _build_session(self, start, end, warm, W, settings=None):
-        """Traceable session construction for one problem at horizon W."""
+    def _build_session(self, start, end, warm, W, settings=None, obstacles=None):
+        """Traceable session construction for one problem at horizon W.
+
+        ``obstacles``: per-problem obstacle pytrees already sliced to this
+        problem (the batched paths' vmap); ``None`` → the constructor's."""
+        if obstacles is None:
+            obstacles = self.obstacles
         if settings is None:
             settings = admm_mod.with_auto_refine(self.settings, W, self.dtype)
         N = self.n_dim
@@ -965,19 +1072,19 @@ class GOMPSolver:
             jnp.asarray(self.con_3d.upper, self.dtype),
         )
         qp = linearize_workspace(
-            qp, self.balls, self.obstacles, con3d, warm,
+            qp, self.balls, obstacles, con3d, warm,
             movable=pinned_movable_mask(W),
         )
         return ops_session.setup(qp, settings, warm_x=warm)
 
-    def _is_solution_ok_fn(self, W):
+    def _is_solution_ok_fn(self, W, per_query_obs: bool = False):
         N = self.n_dim
         con3d = (
             jnp.asarray(self.con_3d.lower, self.dtype),
             jnp.asarray(self.con_3d.upper, self.dtype),
         )
 
-        def is_ok(x):
+        def is_ok_core(x, obstacles):
             q = x[: W * N].reshape(W, N)
             ok = jnp.array(True)
             for ball in self.balls:
@@ -993,8 +1100,10 @@ class GOMPSolver:
                 if ball.is_gripper:
                     ok &= jnp.all(con3d[0][None, :] - ERROR <= pts - r)
                     ok &= jnp.all(pts + r <= con3d[1][None, :] + ERROR)
-                for line in self.obstacles:
+                for line in obstacles:
                     ok &= jnp.all(~line.violates(pts, r))
             return ok
 
-        return is_ok
+        if per_query_obs:
+            return is_ok_core
+        return lambda x: is_ok_core(x, self.obstacles)
