@@ -46,6 +46,12 @@ def main() -> int:
     ap.add_argument("--waypoints", type=int, default=30)
     ap.add_argument("--segments", type=int, default=10)
     ap.add_argument("--max-iter", type=int, default=300)
+    ap.add_argument(
+        "--per-query", action="store_true",
+        help="give every query its OWN keep-out pose (a fleet of robot "
+        "cells with different bin positions) via stack_obstacles — one "
+        "compiled program, traced obstacle values",
+    )
     args = ap.parse_args()
 
     N, INF = 6, 1e30
@@ -88,9 +94,27 @@ def main() -> int:
     end0[0] = np.pi
     ends = end0[None] + 0.02 * rng.standard_normal((B, N))
 
+    # Per-query keep-out poses (round-5 extension): every cell's sphere
+    # jittered around the shared one; the audit below then checks each
+    # query against its OWN obstacle.
+    per_query_spheres = None
+    obstacles_kw = {}
+    if args.per_query:
+        from osqp_solver_tpu.gomp.geometry import stack_obstacles
+
+        per_query_spheres = [
+            SphereObstacle.create(
+                np.asarray(sphere.center) + 0.03 * rng.standard_normal(3),
+                radius=float(sphere.radius),
+            )
+            for _ in range(B)
+        ]
+        obstacles_kw = {"obstacles": [stack_obstacles(per_query_spheres)]}
+        print(f"per-query keep-outs: {B} spheres, 3 cm pose jitter")
+
     t0 = time.time()
     statuses, trajs, horizons, rounds, admm_iters = solver.run_batch_padded(
-        starts, ends
+        starts, ends, **obstacles_kw
     )
     float(jnp.sum(trajs))  # scalar-readback sync (tunnel-safe)
     wall = time.time() - t0
@@ -117,14 +141,15 @@ def main() -> int:
     )
 
     # Exact-FK audit of the first optimal query: the tool ball must clear
-    # the keep-out sphere at every live waypoint.
+    # ITS keep-out sphere at every live waypoint.
     b = int(np.argmax(st == int(ExitCode.kOptimal)))
     W = args.waypoints
     w = int(hz[b])
     q = np.asarray(trajs[b][: W * N]).reshape(W, N)[:w]
     pts = np.asarray(balls[1].fk_jac_batched(jnp.asarray(q))[0])
-    d = np.linalg.norm(pts - np.asarray(sphere.center), axis=-1)
-    margin = float(d.min() - (float(sphere.radius) + balls[1].radius))
+    own = per_query_spheres[b] if per_query_spheres else sphere
+    d = np.linalg.norm(pts - np.asarray(own.center), axis=-1)
+    margin = float(d.min() - (float(own.radius) + balls[1].radius))
     print(f"query {b}: tool keep-out clearance min = {margin:+.4f} m")
     if n_opt == 0 or margin < -1.5e-3:
         print("FAILED: no optimal plan or keep-out violated")

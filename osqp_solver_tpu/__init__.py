@@ -24,7 +24,12 @@ __version__ = "0.1.0"
 
 from .gomp import constraints
 from .gomp.builder import ConstraintBuilder
-from .gomp.geometry import HorizontalLine, SphereObstacle
+from .gomp.geometry import (
+    CapsuleObstacle,
+    HorizontalLine,
+    SphereObstacle,
+    stack_obstacles,
+)
 from .gomp.layout import TrajectoryLayout, make_layout
 from .gomp.planner import GOMPSolver, PlanResult
 from .gomp.trajectory import (
@@ -57,6 +62,8 @@ __all__ = [
     "ConstraintBuilder",
     "HorizontalLine",
     "SphereObstacle",
+    "CapsuleObstacle",
+    "stack_obstacles",
     "TrajectoryLayout",
     "make_layout",
     "RobotBall",

@@ -246,87 +246,204 @@ class SphereObstacle:
         the ``margin``-inflated radius, dummy ``±INF`` (same coefficients)
         elsewhere.  Same signature/returns as
         :meth:`HorizontalLine.linearize_rows`."""
-        Wn = points.shape[0]
-        dt = points.dtype
         rel = points - self.center  # (W, 3)
-        dist = jnp.linalg.norm(rel, axis=-1)  # (W,)
-        Rtot = self.radius + radius
-        gate = Rtot + self.margin
-        if movable is None:
-            movable = jnp.ones((Wn,), bool)
-
-        # --- own-proximity cut (absolute radial) ---------------------------
-        zhat = jnp.zeros_like(rel).at[..., 2].set(1.0)
-        n_own = jnp.where((dist > 1e-9)[:, None], rel, zhat)
-        n_own = n_own / jnp.maximum(
-            jnp.linalg.norm(n_own, axis=-1), 1e-9
-        )[:, None]
-        low_own = (
-            Rtot
-            - jnp.sum(n_own * rel, axis=-1)
-            + jnp.sum(n_own * jq, axis=-1)
-        )
-
-        # --- interior-crossing cuts (relative push) ------------------------
-        a, b = points[:-1], points[1:]
-        dvec = b - a
+        a = points[:-1]
+        dvec = points[1:] - a
         denom = jnp.maximum(jnp.sum(dvec * dvec, axis=-1), 1e-18)
         t = jnp.clip(
             jnp.sum((self.center - a) * dvec, axis=-1) / denom, 0.0, 1.0
         )
         rel_s = a + t[:, None] * dvec - self.center  # (W-1, 3)
-        d_seg = jnp.linalg.norm(rel_s, axis=-1)
-        interior = (t > 1e-3) & (t < 1.0 - 1e-3)
-        # push direction: center → closest point; through-center fallback:
-        # ⊥ to the chord (horizontal), then ŷ
-        perp = jnp.cross(dvec, zhat[:-1])
-        yhat = jnp.zeros_like(rel_s).at[..., 1].set(1.0)
-        n_seg = jnp.where(
-            (d_seg > 1e-9)[:, None],
-            rel_s,
-            jnp.where(
-                (jnp.linalg.norm(perp, axis=-1) > 1e-9)[:, None], perp, yhat
-            ),
+        Rtot = self.radius + radius
+        return _keepout_cut_rows(
+            points, jac, jq, rel, rel_s, t, Rtot, Rtot + self.margin, movable
         )
-        n_seg = n_seg / jnp.maximum(
-            jnp.linalg.norm(n_seg, axis=-1), 1e-9
-        )[:, None]
-        depth = Rtot - d_seg  # (W-1,) > 0 iff the chord penetrates
-        lev_a = 1.0 / jnp.clip(1.0 - t, 0.25, 1.0)
-        lev_b = 1.0 / jnp.clip(t, 0.25, 1.0)
 
-        inf1 = jnp.full((1,), jnp.inf, dist.dtype)
-        zero1 = jnp.zeros((1, 3), rel.dtype)
-        seg_d_eff = jnp.where(interior, d_seg, jnp.inf)
-        # prev candidate of waypoint w: segment w-1, endpoint b (lever 1/t)
-        prev_d = jnp.concatenate([inf1, seg_d_eff])
-        prev_n = jnp.concatenate([zero1, n_seg])
-        prev_push = jnp.concatenate([inf1 * 0, depth * lev_b])
-        # next candidate of waypoint w: segment w, endpoint a (lever 1/(1-t))
-        next_d = jnp.concatenate([seg_d_eff, inf1])
-        next_n = jnp.concatenate([n_seg, zero1])
-        next_push = jnp.concatenate([depth * lev_a, inf1 * 0])
-        # immovable waypoints cannot honor a demanded motion
-        prev_d = jnp.where(movable, prev_d, jnp.inf)
-        next_d = jnp.where(movable, next_d, jnp.inf)
 
-        use_prev = prev_d < jnp.minimum(dist, next_d)
-        use_next = (~use_prev) & (next_d < dist)
-        n = jnp.where(
-            use_prev[:, None],
-            prev_n,
-            jnp.where(use_next[:, None], next_n, n_own),
+def _keepout_cut_rows(points, jac, jq, rel, rel_s, t, Rtot, gate, movable):
+    """Shared SCP cut construction for convex keep-out obstacles (the body
+    behind :meth:`SphereObstacle.linearize_rows`, reused by
+    :class:`CapsuleObstacle`): given the obstacle-specific closest-approach
+    geometry, build one linearized row per waypoint with the two cut forms
+    documented on :meth:`SphereObstacle.linearize_rows` (absolute radial
+    own-proximity cut; relative ``depth·lever`` push for interior
+    trajectory-segment crossings, gated by ``movable``).
+
+    ``rel``: ``(W, 3)`` from the obstacle core's closest point to each
+    waypoint; ``rel_s``/``t``: ``(W-1, 3)``/``(W-1,)`` closest-approach
+    vector and on-trajectory-segment parameter for each trajectory segment
+    (from the core's nearest point to the segment's); ``Rtot``: hard
+    keep-out distance (obstacle radius + ball radius); ``gate``: activation
+    distance (``Rtot`` + margin)."""
+    Wn = points.shape[0]
+    dist = jnp.linalg.norm(rel, axis=-1)  # (W,)
+    if movable is None:
+        movable = jnp.ones((Wn,), bool)
+
+    # --- own-proximity cut (absolute radial) -------------------------------
+    zhat = jnp.zeros_like(rel).at[..., 2].set(1.0)
+    n_own = jnp.where((dist > 1e-9)[:, None], rel, zhat)
+    n_own = n_own / jnp.maximum(
+        jnp.linalg.norm(n_own, axis=-1), 1e-9
+    )[:, None]
+    low_own = (
+        Rtot
+        - jnp.sum(n_own * rel, axis=-1)
+        + jnp.sum(n_own * jq, axis=-1)
+    )
+
+    # --- interior-crossing cuts (relative push) ----------------------------
+    dvec = points[1:] - points[:-1]
+    d_seg = jnp.linalg.norm(rel_s, axis=-1)
+    interior = (t > 1e-3) & (t < 1.0 - 1e-3)
+    # push direction: core → closest point; through-core fallback:
+    # ⊥ to the chord (horizontal), then ŷ
+    perp = jnp.cross(dvec, zhat[:-1])
+    yhat = jnp.zeros_like(rel_s).at[..., 1].set(1.0)
+    n_seg = jnp.where(
+        (d_seg > 1e-9)[:, None],
+        rel_s,
+        jnp.where(
+            (jnp.linalg.norm(perp, axis=-1) > 1e-9)[:, None], perp, yhat
+        ),
+    )
+    n_seg = n_seg / jnp.maximum(
+        jnp.linalg.norm(n_seg, axis=-1), 1e-9
+    )[:, None]
+    depth = Rtot - d_seg  # (W-1,) > 0 iff the chord penetrates
+    lev_a = 1.0 / jnp.clip(1.0 - t, 0.25, 1.0)
+    lev_b = 1.0 / jnp.clip(t, 0.25, 1.0)
+
+    inf1 = jnp.full((1,), jnp.inf, dist.dtype)
+    zero1 = jnp.zeros((1, 3), rel.dtype)
+    seg_d_eff = jnp.where(interior, d_seg, jnp.inf)
+    # prev candidate of waypoint w: segment w-1, endpoint b (lever 1/t)
+    prev_d = jnp.concatenate([inf1, seg_d_eff])
+    prev_n = jnp.concatenate([zero1, n_seg])
+    prev_push = jnp.concatenate([inf1 * 0, depth * lev_b])
+    # next candidate of waypoint w: segment w, endpoint a (lever 1/(1-t))
+    next_d = jnp.concatenate([seg_d_eff, inf1])
+    next_n = jnp.concatenate([n_seg, zero1])
+    next_push = jnp.concatenate([depth * lev_a, inf1 * 0])
+    # immovable waypoints cannot honor a demanded motion
+    prev_d = jnp.where(movable, prev_d, jnp.inf)
+    next_d = jnp.where(movable, next_d, jnp.inf)
+
+    use_prev = prev_d < jnp.minimum(dist, next_d)
+    use_next = (~use_prev) & (next_d < dist)
+    n = jnp.where(
+        use_prev[:, None],
+        prev_n,
+        jnp.where(use_next[:, None], next_n, n_own),
+    )
+    push = jnp.where(use_prev, prev_push, jnp.where(use_next, next_push, 0.0))
+    rq0 = jnp.sum(n * jq, axis=-1)  # (n·J)·q0
+    low_seg = rq0 + push
+    low_sel = jnp.where(use_prev | use_next, low_seg, low_own)
+    dmin = jnp.minimum(dist, jnp.minimum(prev_d, next_d))
+    live = dmin < gate
+    row = jnp.einsum("wa,wan->wn", n, jac)  # (W, N) = n·J
+    low = jnp.where(live, low_sel, -INF)
+    upp = jnp.full_like(low, INF)
+    return row, low, upp
+
+
+@struct.dataclass
+class CapsuleObstacle:
+    """A capsule keep-out (a cylinder with hemispherical caps around the
+    axis segment ``[a, b]``) — the third geometry of the duck-typed
+    obstacle protocol, modeling posts, shelf edges, and cable runs: every
+    robot ball must stay at least ``radius + ball_radius`` from the axis
+    SEGMENT.  Same protocol (``violates`` + ``linearize_rows``) and the
+    same between-waypoint tunneling discipline as
+    :class:`SphereObstacle` (``horizontal-line.h:78-92`` anchor), sharing
+    its cut construction (:func:`_keepout_cut_rows`); batches per-query
+    via :func:`stack_obstacles` like any obstacle."""
+
+    a: jnp.ndarray  # (3,) axis segment start
+    b: jnp.ndarray  # (3,) axis segment end
+    radius: jnp.ndarray  # scalar
+    margin: jnp.ndarray  # scalar
+
+    @classmethod
+    def create(cls, a, b, radius, margin: float = 0.1):
+        return cls(
+            a=jnp.asarray(np.asarray(a, dtype=np.float64)),
+            b=jnp.asarray(np.asarray(b, dtype=np.float64)),
+            radius=jnp.asarray(float(radius)),
+            margin=jnp.asarray(float(margin)),
         )
-        push = jnp.where(use_prev, prev_push, jnp.where(use_next, next_push, 0.0))
-        rq0 = jnp.sum(n * jq, axis=-1)  # (n·J)·q0
-        low_seg = rq0 + push
-        low_sel = jnp.where(use_prev | use_next, low_seg, low_own)
-        dmin = jnp.minimum(dist, jnp.minimum(prev_d, next_d))
-        live = dmin < gate
-        row = jnp.einsum("wa,wan->wn", n, jac)  # (W, N) = n·J
-        low = jnp.where(live, low_sel, -INF)
-        upp = jnp.full_like(low, INF)
-        return row, low, upp
+
+    def axis_closest(self, p):
+        """Closest point on the axis segment ``[a, b]`` to ``p``
+        (``(..., 3)``)."""
+        v = self.b - self.a
+        vv = jnp.maximum(jnp.sum(v * v), 1e-18)
+        t = jnp.clip(jnp.sum((p - self.a) * v, axis=-1) / vv, 0.0, 1.0)
+        return self.a + t[..., None] * v
+
+    def distance(self, p):
+        """Euclidean distance from ``p`` to the capsule axis segment."""
+        return jnp.linalg.norm(p - self.axis_closest(p), axis=-1)
+
+    def segment_closest(self, points):
+        """Closest approach of each trajectory segment ``[p_t, p_{t+1}]``
+        to the AXIS SEGMENT (segment-segment): returns
+        ``(rel (W-1, 3), dist (W-1,), t (W-1,))`` with ``rel`` from the
+        axis's nearest point to the trajectory's and ``t`` the parameter on
+        the trajectory segment — the capsule analogue of
+        :meth:`SphereObstacle.segment_closest`.
+
+        Solved by box-clamped coordinate descent on the convex quadratic
+        (the Eberly interior solution, then two exact 1-D re-solves with
+        the other parameter clamped) — exact except in the
+        parallel-segments flat direction, where any minimizer is as good.
+        """
+        p0 = points[:-1]
+        u = points[1:] - p0  # (S, 3)
+        v = self.b - self.a  # (3,)
+        w0 = p0 - self.a  # (S, 3)
+        A = jnp.maximum(jnp.sum(u * u, axis=-1), 1e-18)
+        Bc = u @ v
+        Cc = jnp.maximum(jnp.sum(v * v), 1e-18)
+        D = jnp.sum(u * w0, axis=-1)
+        E = w0 @ v
+        den = A * Cc - Bc * Bc
+        s = jnp.where(den > 1e-18, (Bc * E - Cc * D) / jnp.maximum(den, 1e-18), 0.0)
+        s = jnp.clip(s, 0.0, 1.0)
+        t_ax = jnp.clip((Bc * s + E) / Cc, 0.0, 1.0)  # axis param | s
+        s = jnp.clip((Bc * t_ax - D) / A, 0.0, 1.0)  # traj param | t
+        t_ax = jnp.clip((Bc * s + E) / Cc, 0.0, 1.0)
+        traj_pt = p0 + s[:, None] * u
+        axis_pt = self.a + t_ax[:, None] * v
+        rel = traj_pt - axis_pt
+        return rel, jnp.linalg.norm(rel, axis=-1), s
+
+    def violates(self, points, radius):
+        """Ball at a waypoint penetrates the capsule, OR either adjacent
+        trajectory segment's closest approach to the axis segment does
+        (the between-waypoint tunneling discipline,
+        ``horizontal-line.h:78-92`` anchor) — with the reference's
+        ``ERROR`` feasibility slack."""
+        clear = self.radius + radius - ERROR
+        wp = self.distance(points) < clear
+        _, seg_dist, _ = self.segment_closest(points)
+        seg = seg_dist < clear
+        pad = jnp.zeros((1,), bool)
+        return wp | jnp.concatenate([pad, seg]) | jnp.concatenate([seg, pad])
+
+    def linearize_rows(self, points, jac, jq, radius, movable=None):
+        """Linearized keep-out row per waypoint — the sphere's two cut
+        forms (:meth:`SphereObstacle.linearize_rows`) with the capsule's
+        closest-approach geometry: ``rel`` runs from the axis segment's
+        nearest point instead of a fixed center (a supporting hyperplane of
+        the capsule at the linearization point — the capsule is convex)."""
+        rel = points - self.axis_closest(points)
+        rel_s, _, t = self.segment_closest(points)
+        Rtot = self.radius + radius
+        return _keepout_cut_rows(
+            points, jac, jq, rel, rel_s, t, Rtot, Rtot + self.margin, movable
+        )
 
 
 def stack_obstacles(obstacles):
