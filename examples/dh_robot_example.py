@@ -6,7 +6,7 @@ solver-example.cpp:29-41``): pick any classic-DH arm, solve an XYZ goal into
 a joint configuration with the numeric DLS IK, and run the same GOMP
 planning stack (SCP + workspace constraints + time-scaling) on it.
 
-Usage:  python examples/dh_robot_example.py [--robot iiwa14|ur10e|ur5e]
+Usage:  python examples/dh_robot_example.py [--robot iiwa14|ur10e|ur5e|scara]
         [--waypoints 16] [--cpu]
 """
 from __future__ import annotations
@@ -23,7 +23,8 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--robot", choices=("iiwa14", "ur10e", "ur5e"),
+    ap.add_argument("--robot",
+                    choices=("iiwa14", "ur10e", "ur5e", "scara"),
                     default="iiwa14")
     ap.add_argument("--waypoints", type=int, default=16)
     ap.add_argument("--segments", type=int, default=3)
@@ -41,14 +42,20 @@ def main() -> int:
     from osqp_solver_tpu.models import dh_robot
 
     robot = {"iiwa14": dh_robot.IIWA14, "ur10e": dh_robot.UR10E,
-             "ur5e": dh_robot.UR5E}[args.robot]
+             "ur5e": dh_robot.UR5E,
+             "scara": dh_robot.SCARA}[args.robot]  # 4-DOF RRPR (prismatic Z)
     n = robot.n_joints
     print(f"robot: {robot.name} ({n} DOF)")
 
     # Cartesian goal -> joint configuration via the numeric DLS IK.
     q_start = np.zeros(n)
-    goal_xyz = np.asarray(robot.point_fk(np.full(n, 0.5)))
-    q_end, ok = robot.position_ik(goal_xyz, q0=np.full(n, 0.3))
+    seed = np.full(n, 0.5)
+    q0_ik = np.full(n, 0.3)
+    for i, t in enumerate(getattr(robot, "joint_types", ())):
+        if t == "p":  # prismatic strokes are meters, not radians
+            seed[i], q0_ik[i] = 0.1, 0.05
+    goal_xyz = np.asarray(robot.point_fk(seed))
+    q_end, ok = robot.position_ik(goal_xyz, q0=q0_ik)
     if not bool(ok):  # explicit (a bare assert vanishes under `python -O`)
         print("error: IK did not converge on the Cartesian goal",
               file=sys.stderr)

@@ -18,8 +18,11 @@ model with
 * a jit-friendly damped-least-squares position IK for arms with no
   closed form (the UR5e keeps its analytic 8-branch IK in ``ur5e.py``),
 * presets: ``UR5E`` (pinned equal to ``models/ur5e.py``), ``UR10E``,
-  and the 7-DOF ``IIWA14`` — the 7-DOF preset doubles as the test that the
-  whole GOMP/ADMM stack is generic in N (``tests/test_dh_robot.py``).
+  the 7-DOF ``IIWA14`` — the 7-DOF preset doubles as the test that the
+  whole GOMP/ADMM stack is generic in N (``tests/test_dh_robot.py``) —
+  and the 4-DOF ``SCARA`` (RRPR), which pins prismatic-joint support
+  (``joint_types``: the joint variable extends ``d`` instead of θ; the
+  Jacobian column is the joint axis with no angular contribution).
 
 Classic DH convention throughout: ``T_i = Rz(θ_i)·Tz(d_i)·Tx(a_i)·Rx(α_i)``.
 """
@@ -47,21 +50,35 @@ def _snap(x: float) -> float:
 
 @dataclass(frozen=True)
 class DHRobot:
-    """A serial revolute arm given by its classic DH table.
+    """A serial arm given by its classic DH table.
 
     ``a``/``d``/``alpha``: per-joint link length, offset, and twist (meters /
-    radians), all the same length N.  All methods are traceable jnp and
-    vmappable over waypoints and problem batches.
+    radians), all the same length N.  ``joint_types``: per-joint ``"r"``
+    (revolute — the joint variable is θᵢ, ``d[i]`` fixed) or ``"p"``
+    (prismatic — the joint variable ADDS to ``d[i]``, θ fixed at
+    ``theta[i]``), default all-revolute; SCARA-class arms mix the two
+    (``SCARA`` preset).  All methods are traceable jnp and vmappable over
+    waypoints and problem batches.
     """
 
     a: Tuple[float, ...]
     d: Tuple[float, ...]
     alpha: Tuple[float, ...]
     name: str = "dh-robot"
+    joint_types: Tuple[str, ...] | None = None
+    theta: Tuple[float, ...] | None = None  # fixed θ of prismatic joints
 
     def __post_init__(self):
         assert len(self.a) == len(self.d) == len(self.alpha), (
             self.a, self.d, self.alpha)
+        if self.joint_types is None:
+            object.__setattr__(self, "joint_types", ("r",) * len(self.a))
+        if self.theta is None:
+            object.__setattr__(self, "theta", (0.0,) * len(self.a))
+        assert len(self.joint_types) == len(self.a) and all(
+            t in ("r", "p") for t in self.joint_types
+        ), self.joint_types
+        assert len(self.theta) == len(self.a)
 
     @property
     def n_joints(self) -> int:
@@ -69,16 +86,25 @@ class DHRobot:
 
     # -- matrix path (reference check / host use) ---------------------------
 
-    def link_transform(self, i: int, theta):
+    def link_transform(self, i: int, qi):
+        """Link transform at joint variable ``qi`` — θᵢ for a revolute
+        joint, the prismatic extension added to ``d[i]`` otherwise."""
+        if self.joint_types[i] == "r":
+            theta, d = qi, self.d[i]
+        else:
+            theta = jnp.asarray(self.theta[i], jnp.asarray(qi).dtype)
+            d = self.d[i] + qi
         ct, st = jnp.cos(theta), jnp.sin(theta)
         ca, sa = _snap(math.cos(self.alpha[i])), _snap(math.sin(self.alpha[i]))
-        a, d = self.a[i], self.d[i]
+        a = self.a[i]
         return jnp.array(
             [
                 [ct, -st * ca, st * sa, a * ct],
                 [st, ct * ca, -ct * sa, a * st],
-                [0.0, sa, ca, d],
-                [0.0, 0.0, 0.0, 1.0],
+                [jnp.zeros_like(ct), sa * jnp.ones_like(ct),
+                 ca * jnp.ones_like(ct), d * jnp.ones_like(ct)],
+                [jnp.zeros_like(ct), jnp.zeros_like(ct),
+                 jnp.zeros_like(ct), jnp.ones_like(ct)],
             ]
         )
 
@@ -109,11 +135,19 @@ class DHRobot:
 
     # -- structure-of-arrays batched hot path -------------------------------
 
-    def _soa_compose(self, R, p, th, i):
-        """(R, p) ∘ DH-link i at angle ``th`` — all entries (...,)-arrays."""
-        ct, st = jnp.cos(th), jnp.sin(th)
+    def _soa_compose(self, R, p, qi, i):
+        """(R, p) ∘ DH-link i at joint variable ``qi`` — all entries
+        (...,)-arrays.  Revolute: θ = ``qi``; prismatic: θ fixed (cos/sin
+        snap to exact constants so the composer drops terms at trace time)
+        and ``qi`` extends ``d[i]``."""
+        if self.joint_types[i] == "r":
+            ct, st = jnp.cos(qi), jnp.sin(qi)
+            d = self.d[i]
+        else:
+            ct, st = _snap(math.cos(self.theta[i])), _snap(math.sin(self.theta[i]))
+            d = self.d[i] + qi
         ca, sa = _snap(math.cos(self.alpha[i])), _snap(math.sin(self.alpha[i]))
-        a, d = self.a[i], self.d[i]
+        a = self.a[i]
         cols = (
             (ct, st, 0.0),
             (-st * ca, ct * ca, sa),
@@ -130,12 +164,13 @@ class DHRobot:
                 acc = term if acc is None else acc + term
             return acc
 
+        is_num = lambda v: isinstance(v, (int, float))
         Rn = [[dot_row(r, cols[j]) for j in range(3)] for r in range(3)]
         pn = tuple(
             p[r]
-            + (R[r][0] * (a * ct) if a else 0.0)
-            + (R[r][1] * (a * st) if a else 0.0)
-            + (R[r][2] * d if d else 0.0)
+            + (R[r][0] * (a * ct) if not (is_num(a) and a == 0.0 or is_num(ct) and ct == 0.0) else 0.0)
+            + (R[r][1] * (a * st) if not (is_num(a) and a == 0.0 or is_num(st) and st == 0.0) else 0.0)
+            + (R[r][2] * d if not (is_num(d) and d == 0.0) else 0.0)
             for r in range(3)
         )
         return Rn, pn
@@ -177,6 +212,11 @@ class DHRobot:
         for i in range(n):
             if i < link:
                 zx, zy, zz = axes[i]
+                if self.joint_types[i] == "p":
+                    # prismatic: linear motion straight along the joint
+                    # axis — J_p column is z_i itself
+                    cols.append((zx, zy, zz))
+                    continue
                 rx, ry, rz = (p[0] - origins[i][0], p[1] - origins[i][1],
                               p[2] - origins[i][2])
                 cols.append((zy * rz - zz * ry, zz * rx - zx * rz,
@@ -195,7 +235,12 @@ class DHRobot:
         jac_w = jnp.stack(
             [
                 jnp.stack(
-                    [axes[i][ax] if i < link else zero for i in range(n)],
+                    [
+                        axes[i][ax]
+                        if i < link and self.joint_types[i] == "r"
+                        else zero  # prismatic joints add no angular velocity
+                        for i in range(n)
+                    ],
                     axis=-1,
                 )
                 for ax in range(3)
@@ -382,4 +427,17 @@ IIWA14 = DHRobot(
     d=(0.36, 0.0, 0.42, 0.0, 0.4, 0.0, 0.126),
     alpha=(-_PI2, _PI2, _PI2, -_PI2, -_PI2, _PI2, 0.0),
     name="iiwa14",
+)
+
+#: A 4-DOF SCARA (RRPR — two shoulder revolutes, a prismatic Z stroke, a
+#: tool-rotation wrist; Epson LS6-class link lengths).  The pick-and-place
+#: workhorse class, and the preset that pins prismatic-joint support: the
+#: α₂ = π flip points the z₃/z₄ axes down, so +q₃ plunges the tool
+#: (z = 0.2 − q₃) while keeping the classic-DH form.  q₃ ∈ [0, 0.2] m.
+SCARA = DHRobot(
+    a=(0.325, 0.275, 0.0, 0.0),
+    d=(0.2, 0.0, 0.0, 0.0),
+    alpha=(0.0, math.pi, 0.0, 0.0),
+    joint_types=("r", "r", "p", "r"),
+    name="scara",
 )
