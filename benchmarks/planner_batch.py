@@ -62,9 +62,11 @@ def main():
         "marginal segment grinds to max_iter)",
     )
     ap.add_argument(
-        "--robot", choices=("ur5e", "ur10e", "iiwa14"), default="ur5e",
+        "--robot", choices=("ur5e", "ur10e", "iiwa14", "scara"),
+        default="ur5e",
         help="arm model: the reference's UR5e (analytic module) or a "
-        "generic-DH preset (models/dh_robot.py) — iiwa14 is 7-DOF",
+        "generic-DH preset (models/dh_robot.py) — iiwa14 is 7-DOF, "
+        "scara the 4-DOF RRPR (prismatic Z)",
     )
     args = ap.parse_args()
 
@@ -103,7 +105,8 @@ def main():
     else:
         from osqp_solver_tpu.models import dh_robot
 
-        robot = {"ur10e": dh_robot.UR10E, "iiwa14": dh_robot.IIWA14}[args.robot]
+        robot = {"ur10e": dh_robot.UR10E, "iiwa14": dh_robot.IIWA14,
+                 "scara": dh_robot.SCARA}[args.robot]
         N = robot.n_joints
         balls = [
             robot.make_ball(link=N - 1, radius=0.15),
