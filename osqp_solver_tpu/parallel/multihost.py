@@ -226,10 +226,69 @@ def run_worker(out_path: str, batch: int = 8, W_batch: int = 12,
         "max_abs_err_vs_local": err2,
     }
 
+    # ---- planner layer: a fleet sharded across the process boundary -------
+    # The round-5 planner scale-out (GOMPSolver.run_batch_lane_sharded,
+    # VERDICT r4 next #1) on a mesh whose batch axis SPANS the two
+    # processes: each process plans its 4 queries, zero collectives inside
+    # (one solver per problem, gomp-solver.h:61-64); verdict = the gathered
+    # fleet result equals this process's own single-device reference.
+    from .. import constraints as C
+    from ..gomp.planner import GOMPSolver
+    from ..models.robot import RobotBall
+
+    ball = RobotBall(
+        fk=lambda s: s,
+        jacobian=lambda s: jnp.eye(3, dtype=s.dtype),
+        radius=0.05,
+        is_gripper=True,
+    )
+    planner = GOMPSolver(
+        max_waypoints=10,
+        time_step=0.1,
+        pos_con=C.in_range(N, -10, 10),
+        vel_con=C.in_range(N, -20, 20),
+        acc_con=C.in_range(N, -40, 40),
+        con_3d=C.in_range(3, -10, 10),
+        obstacles=[],
+        balls=[ball],
+        dtype=dtype,
+    )
+    rngp = np.random.default_rng(11)
+    starts_p = jnp.asarray(0.1 * rngp.standard_normal((batch, N)), dtype)
+    ends_p = jnp.asarray(
+        np.array([1.0, 0.5, -0.25]) + 0.1 * rngp.standard_normal((batch, N)),
+        dtype,
+    )
+    st_p, tr_p, it_p = planner.run_batch_lane_sharded(
+        replicate_to_global(starts_p, mesh_b),
+        replicate_to_global(ends_p, mesh_b),
+        waypoints=10,
+        mesh=mesh_b,
+    )
+    st_ref, tr_ref, it_ref = planner.run_batch_lane(
+        starts_p, ends_p, waypoints=10
+    )
+    st_pg = multihost_utils.process_allgather(st_p, tiled=True)
+    it_pg = multihost_utils.process_allgather(it_p, tiled=True)
+    err_p = float(
+        jnp.max(jnp.abs(tr_p - replicate_to_global(tr_ref, mesh_b)))
+    )
+    report["planner"] = {
+        "statuses": [int(s) for s in np.asarray(st_pg)],
+        "ref_statuses": [int(s) for s in np.asarray(st_ref)],
+        "scp_iters_match": bool(
+            np.array_equal(np.asarray(it_pg), np.asarray(it_ref))
+        ),
+        "max_abs_err_vs_local": err_p,
+    }
+
     report["ok"] = (
         report["batch"]["all_optimal"]
         and report["batch"]["statuses_match"]
         and err_b <= 2e-4
+        and report["planner"]["statuses"] == report["planner"]["ref_statuses"]
+        and report["planner"]["scp_iters_match"]
+        and err_p <= 1e-8
         and report["horizon"]["status"] == report["horizon"]["ref_status"] == 0
         # Sequential-scan vs Schur KKT backends round differently in f32;
         # both solutions sit in the same OSQP 1e-3 tolerance class, and the

@@ -9,7 +9,10 @@ global 8-device mesh:
 * batch-sharded ADMM (``parallel/batch.py``) — 8 problems, one per device,
   split across the process boundary;
 * horizon-sharded ADMM (``parallel/banded.py``) — ONE long-horizon QP whose
-  Schur separator ``all_gather`` and ``ppermute`` halos cross processes.
+  Schur separator ``all_gather`` and ``ppermute`` halos cross processes;
+* the PLANNER fleet (``GOMPSolver.run_batch_lane_sharded``, round 5) — 8
+  full SCP planning queries whose batch axis spans the two processes,
+  result equal to the single-device path to 1e-8.
 
 Each worker self-checks against its local single-device reference solve and
 writes a JSON verdict; the parent asserts both verdicts.  Worker body:
