@@ -109,21 +109,28 @@ class DHRobot:
         )
 
     def frames(self, q):
-        """Cumulative transforms ``T_0i`` for i = 0..N; shape (N+1, 4, 4)."""
-        T = jnp.eye(4, dtype=q.dtype)
-        out = [T]
-        for i in range(self.n_joints):
-            T = T @ self.link_transform(i, q[i])
-            out.append(T)
-        return jnp.stack(out)
+        """Cumulative transforms ``T_0i`` for i = 0..N; shape (N+1, 4, 4).
+
+        Full-precision matmuls: the TPU f32 default (bf16 inputs) smears a
+        6-link 4×4 chain by ~1e-3 tool error — enough to fail f32 IK
+        tolerances and FK audits.  The chains are tiny; exactness is free."""
+        with jax.default_matmul_precision("highest"):
+            T = jnp.eye(4, dtype=q.dtype)
+            out = [T]
+            for i in range(self.n_joints):
+                T = T @ self.link_transform(i, q[i])
+                out.append(T)
+            return jnp.stack(out)
 
     def point_fk(self, q, link: int | None = None):
-        """Origin of frame ``link`` (default: the tool frame N); (3,)."""
+        """Origin of frame ``link`` (default: the tool frame N); (3,).
+        Full-precision chain — see :meth:`frames`."""
         link = self.n_joints if link is None else int(link)
-        T = jnp.eye(4, dtype=q.dtype)
-        for i in range(link):
-            T = T @ self.link_transform(i, q[i])
-        return T[:3, 3]
+        with jax.default_matmul_precision("highest"):
+            T = jnp.eye(4, dtype=q.dtype)
+            for i in range(link):
+                T = T @ self.link_transform(i, q[i])
+            return T[:3, 3]
 
     def fk(self, link: int | None = None):
         """``q (N,) -> point (3,)`` callable for :class:`RobotBall.fk`."""
@@ -259,12 +266,14 @@ class DHRobot:
         return points, rot, jac, jac_w
 
     def pose_fk(self, q, link: int | None = None):
-        """``(point (3,), R (3,3))`` of frame ``link`` (matrix path)."""
+        """``(point (3,), R (3,3))`` of frame ``link`` (matrix path;
+        full-precision chain — see :meth:`frames`)."""
         link = self.n_joints if link is None else int(link)
-        T = jnp.eye(4, dtype=jnp.asarray(q).dtype)
-        for i in range(link):
-            T = T @ self.link_transform(i, q[i])
-        return T[:3, 3], T[:3, :3]
+        with jax.default_matmul_precision("highest"):
+            T = jnp.eye(4, dtype=jnp.asarray(q).dtype)
+            for i in range(link):
+                T = T @ self.link_transform(i, q[i])
+            return T[:3, 3], T[:3, :3]
 
     def make_ball(self, link: int | None = None, radius: float = 0.05,
                   is_gripper: bool = False):
@@ -315,13 +324,24 @@ class DHRobot:
         def body(_, q):
             pt, J = self.fk_jacobian_points(q, link=link)
             e = p - pt
-            # dq = Jᵀ (J Jᵀ + λ² I)⁻¹ e  (3×3 solve — cheap at any N)
-            JJt = J @ J.T + lam2 * eye3
-            dq = J.T @ jnp.linalg.solve(JJt, e)
+            # dq = Jᵀ (J Jᵀ + λ² I)⁻¹ e  (3×3 solve — cheap at any N).
+            # HIGHEST matmul precision: on TPU the default f32 matmul runs
+            # at bf16 input precision, which stalls DLS short of the f32
+            # tolerance; these products are tiny, so exactness is free.
+            hi = jax.lax.Precision.HIGHEST
+            JJt = jnp.matmul(J, J.T, precision=hi) + lam2 * eye3
+            dq = jnp.matmul(
+                J.T, jnp.linalg.solve(JJt, e), precision=hi
+            )
             return q + dq
 
-        q = jax.lax.fori_loop(0, iters, body, q0)
-        err = jnp.linalg.norm(self.fk(link)(q) - p)
+        # default_matmul_precision: jnp.linalg.solve's blocked LU also runs
+        # matmuls at the backend default (bf16 inputs on TPU), which stalls
+        # DLS ~1e-3 short of the f32 tolerance — force full precision for
+        # the whole (tiny) loop.
+        with jax.default_matmul_precision("highest"):
+            q = jax.lax.fori_loop(0, iters, body, q0)
+            err = jnp.linalg.norm(self.fk(link)(q) - p)
         return q, err <= tol
 
     def pose_ik(self, p, rot, q0=None, link: int | None = None,
@@ -363,16 +383,27 @@ class DHRobot:
             pt, R, Jp, Jw = self.fk_pose_jacobian(q, link=link)
             e = jnp.concatenate([p - pt, orient_err(R)])
             J = jnp.concatenate([Jp, Jw], axis=0)  # (6, N)
-            JJt = J @ J.T + lam2 * eye6
-            dq = J.T @ jnp.linalg.solve(JJt, e)
+            # HIGHEST precision: see position_ik (TPU bf16 matmul default
+            # stalls DLS short of the f32 tolerance).
+            hi = jax.lax.Precision.HIGHEST
+            JJt = jnp.matmul(J, J.T, precision=hi) + lam2 * eye6
+            dq = jnp.matmul(
+                J.T, jnp.linalg.solve(JJt, e), precision=hi
+            )
             return q + dq
 
-        q = jax.lax.fori_loop(0, iters, body, q0)
-        pt, R = self.pose_fk(q, link=link)
-        pos_err = jnp.linalg.norm(pt - p)
-        # relative-rotation angle from the trace of rotᵀR
-        c = jnp.clip((jnp.trace(rot.T @ R) - 1.0) / 2.0, -1.0, 1.0)
-        ang_err = jnp.arccos(c)
+        # Full-precision matmuls for the loop AND the convergence check: on
+        # TPU the f32 default runs bf16 inputs, and the check's rotᵀR trace
+        # alone picks up ~1e-2 error — arccos turns that into DEGREES of
+        # phantom angle error, failing solves whose rotation is exact
+        # (found driving the grasp demo on hardware, round 5).
+        with jax.default_matmul_precision("highest"):
+            q = jax.lax.fori_loop(0, iters, body, q0)
+            pt, R = self.pose_fk(q, link=link)
+            pos_err = jnp.linalg.norm(pt - p)
+            # relative-rotation angle from the trace of rotᵀR
+            c = jnp.clip((jnp.trace(rot.T @ R) - 1.0) / 2.0, -1.0, 1.0)
+            ang_err = jnp.arccos(c)
         return q, (pos_err <= tol) & (ang_err <= tol_rot)
 
 

@@ -60,21 +60,28 @@ def link_transform(i: int, theta):
 
 
 def frames(q):
-    """Cumulative transforms ``T_0i`` for i = 0..6; shape (7, 4, 4)."""
-    T = jnp.eye(4, dtype=q.dtype)
-    out = [T]
-    for i in range(NUM_JOINTS):
-        T = T @ link_transform(i, q[i])
-        out.append(T)
-    return jnp.stack(out)
+    """Cumulative transforms ``T_0i`` for i = 0..6; shape (7, 4, 4).
+
+    Full-precision matmuls: on TPU the f32 default runs bf16 inputs, and
+    the 6-link 4x4 chain accumulates ~1e-3 tool error — enough to fail
+    f32 IK tolerances and FK audits.  These chains are tiny; exactness is
+    free."""
+    with jax.default_matmul_precision("highest"):
+        T = jnp.eye(4, dtype=q.dtype)
+        out = [T]
+        for i in range(NUM_JOINTS):
+            T = T @ link_transform(i, q[i])
+            out.append(T)
+        return jnp.stack(out)
 
 
 def tool_pose(q):
-    """Full 4×4 tool (frame 6) pose."""
-    T = jnp.eye(4, dtype=q.dtype)
-    for i in range(NUM_JOINTS):
-        T = T @ link_transform(i, q[i])
-    return T
+    """Full 4×4 tool (frame 6) pose (full-precision chain — see frames)."""
+    with jax.default_matmul_precision("highest"):
+        T = jnp.eye(4, dtype=q.dtype)
+        for i in range(NUM_JOINTS):
+            T = T @ link_transform(i, q[i])
+        return T
 
 
 def forward_kinematics(q):
@@ -86,19 +93,21 @@ def forward_kinematics(q):
 def forward_kinematics_6_back(q):
     """Wrist point one link "back" from the tool (origin of frame 5) —
     mirror of ``forward_kinematics_6_back`` (``solver-example.cpp:39``)."""
-    T = jnp.eye(4, dtype=q.dtype)
-    for i in range(5):
-        T = T @ link_transform(i, q[i])
-    return T[:3, 3]
+    with jax.default_matmul_precision("highest"):
+        T = jnp.eye(4, dtype=q.dtype)
+        for i in range(5):
+            T = T @ link_transform(i, q[i])
+        return T[:3, 3]
 
 
 def forward_kinematics_elbow_joint(q):
     """Elbow position (origin of frame 2, end of the upper arm) — mirror of
     ``forward_kinematics_elbow_joint`` (``solver-example.cpp:31``)."""
-    T = jnp.eye(4, dtype=q.dtype)
-    for i in range(2):
-        T = T @ link_transform(i, q[i])
-    return T[:3, 3]
+    with jax.default_matmul_precision("highest"):
+        T = jnp.eye(4, dtype=q.dtype)
+        for i in range(2):
+            T = T @ link_transform(i, q[i])
+        return T[:3, 3]
 
 
 # Position Jacobians (3×6) — exact jacfwd of the closed-form FK; mirrors of
@@ -256,6 +265,14 @@ def inverse_kinematics(T):
     Branch order: (shoulder ±) × (wrist ±) × (elbow ±).
     """
     T = jnp.asarray(T)
+    with jax.default_matmul_precision("highest"):
+        # bf16-default TPU matmuls would smear the branch reductions
+        # (T01^-1 . T06 . T56^-1 . T45^-1 chains) by ~1e-3 — full precision
+        # keeps the 8 branches at FK round-trip accuracy (see frames()).
+        return _inverse_kinematics_body(T)
+
+
+def _inverse_kinematics_body(T):
     dt_ = T.dtype
     px, py = T[0, 3], T[1, 3]
 
