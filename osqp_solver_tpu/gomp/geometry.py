@@ -19,6 +19,7 @@ segment crosses the line in the XY plane.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -342,7 +343,11 @@ def _keepout_cut_rows(points, jac, jq, rel, rel_s, t, Rtot, gate, movable):
     low_sel = jnp.where(use_prev | use_next, low_seg, low_own)
     dmin = jnp.minimum(dist, jnp.minimum(prev_d, next_d))
     live = dmin < gate
-    row = jnp.einsum("wa,wan->wn", n, jac)  # (W, N) = n·J
+    # (W, N) = n·J; full precision — on TPU the bf16 matmul default would
+    # smear the SCP row coefficients ~0.4% (ops/ pins _HI the same way)
+    row = jnp.einsum(
+        "wa,wan->wn", n, jac, precision=jax.lax.Precision.HIGHEST
+    )
     low = jnp.where(live, low_sel, -INF)
     upp = jnp.full_like(low, INF)
     return row, low, upp
