@@ -39,6 +39,12 @@ run planner_iiwa14 python benchmarks/planner_batch.py --batch 1024 --skip-vmap -
 run planner_full python benchmarks/planner_batch.py --full --batch 1024 --waypoints 50 --segments 10 --ct 3 --rho 0.04 --scaling 3 --max-iter 300 --reps 3
 run planner_full_iiwa14 python benchmarks/planner_batch.py --full --batch 1024 --waypoints 50 --segments 10 --ct 3 --rho 0.04 --scaling 3 --max-iter 300 --reps 3 --robot iiwa14
 run planner_full_w802 python benchmarks/planner_batch.py --full --batch 128 --waypoints 802 --segments 10 --ct 3 --rho 0.02 --scaling 3 --max-iter 300 --reps 2
+# Round 5: stall detection makes STOCK settings the headline (no knob);
+# --stall-checks 0 is the pre-r5 OSQP-give-up control (expect ~10x slower).
+run planner_full_stock python benchmarks/planner_batch.py --full --batch 1024 --waypoints 50 --segments 10 --ct 3 --rho 0.04 --scaling 3 --reps 3
+run planner_full_stalloff python benchmarks/planner_batch.py --full --batch 1024 --waypoints 50 --segments 10 --ct 3 --rho 0.04 --scaling 3 --stall-checks 0 --reps 3
+run planner_full_scara python benchmarks/planner_batch.py --full --batch 1024 --waypoints 50 --segments 10 --ct 3 --rho 0.04 --scaling 3 --reps 3 --robot scara
+run planner_full_w802_b512 python benchmarks/planner_batch.py --full --batch 512 --waypoints 802 --segments 10 --ct 3 --rho 0.02 --scaling 3 --reps 2
 run planner_round_profile python benchmarks/profile_planner_round.py
 # w802: batch 512 is the measured knee; --adapt-interval defaults to 60
 # (deferred past the 30-iter tail — the old 3*ct=9 fired mid-solve and cost
