@@ -374,7 +374,9 @@ def main():
                 "vs_baseline": round(honest_qps / north_star_per_chip, 4),
                 "secondary_box_only_qps_per_sec": round(box_qps, 2),
                 "secondary_full_timescaling_queries_per_sec_stock": (
-                    round(full_qps, 1) if full_qps else None
+                    # `is not None`: a measured 0.0 (total planner
+                    # regression) must stay distinguishable from "skipped"
+                    round(full_qps, 1) if full_qps is not None else None
                 ),
                 "full_search_admm_iters_p50": full_iters_p50,
                 "median_iterations": honest_iters,

@@ -185,8 +185,10 @@ class SphereObstacle:
 
     def segment_closest(self, points):
         """Closest approach of each trajectory segment ``[p_t, p_{t+1}]``
-        to the center: ``(rel (W-1, 3), dist (W-1,))`` with ``rel`` from
-        the center to the segment's closest point.  The sphere analogue of
+        to the center: ``(rel (W-1, 3), dist (W-1,), t (W-1,))`` with
+        ``rel`` from the center to the segment's closest point and ``t``
+        the on-segment parameter (same protocol arity as
+        :meth:`CapsuleObstacle.segment_closest`).  The sphere analogue of
         the line's adjacent-segment-crossing test
         (``horizontal-line.h:78-92``): between-waypoint tunneling is
         caught here, not just waypoint penetration."""
@@ -197,7 +199,7 @@ class SphereObstacle:
             jnp.sum((self.center - a) * d, axis=-1) / denom, 0.0, 1.0
         )
         rel = a + t[..., None] * d - self.center
-        return rel, jnp.linalg.norm(rel, axis=-1)
+        return rel, jnp.linalg.norm(rel, axis=-1), t
 
     def violates(self, points, radius):
         """Ball at a waypoint penetrates the keep-out sphere, OR either
@@ -208,7 +210,7 @@ class SphereObstacle:
         therefore rejected even when both endpoints are clear."""
         clear = self.radius + radius - ERROR
         wp = self.distance(points) < clear
-        _, seg_dist = self.segment_closest(points)
+        _, seg_dist, _ = self.segment_closest(points)
         seg = seg_dist < clear
         pad = jnp.zeros((1,), bool)
         return wp | jnp.concatenate([pad, seg]) | jnp.concatenate([seg, pad])
@@ -248,13 +250,7 @@ class SphereObstacle:
         elsewhere.  Same signature/returns as
         :meth:`HorizontalLine.linearize_rows`."""
         rel = points - self.center  # (W, 3)
-        a = points[:-1]
-        dvec = points[1:] - a
-        denom = jnp.maximum(jnp.sum(dvec * dvec, axis=-1), 1e-18)
-        t = jnp.clip(
-            jnp.sum((self.center - a) * dvec, axis=-1) / denom, 0.0, 1.0
-        )
-        rel_s = a + t[:, None] * dvec - self.center  # (W-1, 3)
+        rel_s, _, t = self.segment_closest(points)  # (W-1, 3), _, (W-1,)
         Rtot = self.radius + radius
         return _keepout_cut_rows(
             points, jac, jq, rel, rel_s, t, Rtot, Rtot + self.margin, movable
@@ -321,11 +317,14 @@ def _keepout_cut_rows(points, jac, jq, rel, rel_s, t, Rtot, gate, movable):
     # prev candidate of waypoint w: segment w-1, endpoint b (lever 1/t)
     prev_d = jnp.concatenate([inf1, seg_d_eff])
     prev_n = jnp.concatenate([zero1, n_seg])
-    prev_push = jnp.concatenate([inf1 * 0, depth * lev_b])
+    # zero (NOT inf*0 = NaN: masked in the forward pass but poisonous
+    # under jax.grad through the unselected where-branch)
+    zpad = jnp.zeros((1,), dist.dtype)
+    prev_push = jnp.concatenate([zpad, depth * lev_b])
     # next candidate of waypoint w: segment w, endpoint a (lever 1/(1-t))
     next_d = jnp.concatenate([seg_d_eff, inf1])
     next_n = jnp.concatenate([n_seg, zero1])
-    next_push = jnp.concatenate([depth * lev_a, inf1 * 0])
+    next_push = jnp.concatenate([depth * lev_a, zpad])
     # immovable waypoints cannot honor a demanded motion
     prev_d = jnp.where(movable, prev_d, jnp.inf)
     next_d = jnp.where(movable, next_d, jnp.inf)
@@ -464,8 +463,6 @@ def stack_obstacles(obstacles):
     (e.g. ``B`` :class:`SphereObstacle`\\ s at different centers).  Returns
     one obstacle pytree whose leaves are ``(B, ...)`` stacks.
     """
-    import jax
-
     first = obstacles[0]
     if any(type(o) is not type(first) for o in obstacles):
         raise TypeError(

@@ -744,6 +744,7 @@ def _solve_core(
     if (
         use_fused
         and settings.factor_warmup_stream == "f16"
+        and settings.termination_warmup > 0  # warmup stream never built at 0
         and jax.default_backend() != "cpu"
     ):
         # Advisor r4: without this guard a TPU user opting into "f16" gets

@@ -40,6 +40,16 @@ def available() -> bool:
         return False
 
 
+def _stall_checks_eff(stall_checks: int, stall_min_iters: int,
+                      check_every: int) -> int:
+    """Same patience floor as ``ops.admm.stall_checks_needed``: the stall
+    window must span at least ``stall_min_iters`` iterations at the check
+    cadence, so solver<->oracle cross-validation stays exact-count."""
+    if stall_checks <= 0:
+        return stall_checks
+    return max(int(stall_checks), -(-int(stall_min_iters) // max(1, int(check_every))))
+
+
 def _load():
     global _lib
     if _lib is not None:
@@ -91,6 +101,7 @@ def solve(
     warm_y: Optional[np.ndarray] = None,
     stall_checks: int = 12,
     stall_rtol: float = 0.05,
+    stall_min_iters: int = 36,
 ) -> OracleResult:
     lib = _load()
     P = np.ascontiguousarray(P, dtype=np.float64)
@@ -116,7 +127,8 @@ def solve(
         ptr(x), ptr(y), ctypes.byref(iters), ctypes.byref(pr), ctypes.byref(dr),
         max_iter, check_every, eps_abs, eps_rel, eps_prim_inf, eps_dual_inf,
         rho, sigma, alpha, int(adaptive_rho), wx, wy,
-        int(stall_checks), float(stall_rtol),
+        int(_stall_checks_eff(stall_checks, stall_min_iters, check_every)),
+        float(stall_rtol),
     )
     return OracleResult(
         x=x, y=y, status=int(status), iterations=int(iters.value),
@@ -171,6 +183,7 @@ def solve_sparse(
     warm_y: Optional[np.ndarray] = None,
     stall_checks: int = 12,
     stall_rtol: float = 0.05,
+    stall_min_iters: int = 36,
 ) -> OracleResult:
     """Sparse-A / banded-KKT oracle (qdldl-equivalent cost model) — makes the
     reference example scale (W=802 ⇒ n=9,624) tractable on CPU.
@@ -211,7 +224,8 @@ def solve_sparse(
         ptr(x), ptr(y), ctypes.byref(iters), ctypes.byref(pr), ctypes.byref(dr),
         max_iter, check_every, eps_abs, eps_rel, eps_prim_inf, eps_dual_inf,
         rho, sigma, alpha, int(adaptive_rho), wx, wy,
-        int(stall_checks), float(stall_rtol),
+        int(_stall_checks_eff(stall_checks, stall_min_iters, check_every)),
+        float(stall_rtol),
     )
     return OracleResult(
         x=x, y=y, status=int(status), iterations=int(iters.value),

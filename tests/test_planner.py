@@ -443,7 +443,7 @@ def test_sphere_tunneling_scp_detours():
     assert not np.any(v), q
     # and the detour is real: the plan's segment closest-approach distance
     # clears the keep-out where the straight line's did not
-    _, seg_d = sphere.segment_closest(jnp.asarray(q))
+    _, seg_d, _ = sphere.segment_closest(jnp.asarray(q))
     assert float(np.min(np.asarray(seg_d))) >= R + r_ball - 1.5e-3
 
 
