@@ -109,3 +109,44 @@ def test_run_batch_padded_sharded_mixed_outcomes():
     np.testing.assert_array_equal(np.asarray(hz0), np.asarray(hz1))
     assert int(np.asarray(st0)[1]) != ExitCode.kOptimal
     assert int(np.asarray(st0)[0]) == ExitCode.kOptimal
+
+
+def test_sharded_planner_compiles_zero_collectives():
+    """The DP scale-out claim, pinned at the HLO level: the compiled
+    sharded planner programs contain NO cross-device collectives — each
+    device plans its query shard fully locally (one solver per problem,
+    ``gomp-solver.h:61-64``), so scaling is communication-free by
+    construction (the planner analogue of ``test_banded``'s
+    separator-only payload pin)."""
+    import re
+
+    import jax
+    from jax.sharding import PartitionSpec
+
+    from osqp_solver_tpu.parallel.mesh import BATCH_AXIS
+
+    s = make_solver(waypoints=10, segments=2)
+    B = 8
+    starts, ends = queries(B)
+    mesh = make_mesh()
+    spec = PartitionSpec(BATCH_AXIS)
+    collective_ops = (
+        "all-gather", "all-reduce", "collective-permute", "all-to-all",
+        "reduce-scatter",
+    )
+    for name, program, n_out in (
+        ("lane", s._plan_batch_lane_program(10, s.max_scp_iterations), 3),
+        ("padded", s._plan_batch_padded_program(s.max_scp_iterations, False), 5),
+    ):
+        fn = jax.jit(jax.shard_map(
+            program, mesh=mesh, in_specs=(spec, spec, spec),
+            out_specs=(spec,) * n_out, check_vma=False,
+        ))
+        hlo = fn.lower(
+            jnp.asarray(starts, s.dtype), jnp.asarray(ends, s.dtype), []
+        ).compile().as_text()
+        found = [
+            op for op in collective_ops
+            if re.search(rf"\b{op}\(", hlo) or re.search(rf"= {op}", hlo)
+        ]
+        assert not found, (name, found)
