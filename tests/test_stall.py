@@ -199,3 +199,29 @@ def test_invalid_stream_settings_fail_fast():
         s = dataclasses.replace(Settings(), **{name: "fp8"})
         with pytest.raises(ValueError, match=name):
             admm_lane.solve_batched_lane(qps, s)
+
+
+def test_stall_floor_protects_aggressive_cadences():
+    """The patience floor (review round 5): the effective window spans at
+    least ``stall_min_iters`` iterations regardless of the check cadence,
+    and exactly ``stall_checks`` checks at cadences where that is already
+    enough — so ct=1 users keep 36 iterations of patience while every
+    published ct>=3 measurement is unchanged."""
+    from osqp_solver_tpu.ops.admm import stall_checks_needed
+
+    mk = lambda ct, sc=12, smi=36: dataclasses.replace(
+        Settings(), check_termination=ct, stall_checks=sc, stall_min_iters=smi
+    )
+    assert stall_checks_needed(mk(1)) == 36   # 36 iterations
+    assert stall_checks_needed(mk(2)) == 18   # 36 iterations
+    assert stall_checks_needed(mk(3)) == 12   # exactly the fleet setting
+    assert stall_checks_needed(mk(5)) == 12   # 60 iterations
+    assert stall_checks_needed(mk(25)) == 12  # OSQP default: 300 iterations
+    # a sweep-style smaller stall_checks still respects the floor
+    assert stall_checks_needed(mk(5, sc=4)) == 8
+    # and the oracle bridge applies the identical transform
+    from osqp_solver_tpu.utils.oracle import _stall_checks_eff
+
+    for ct in (1, 2, 3, 5, 25):
+        assert _stall_checks_eff(12, 36, ct) == stall_checks_needed(mk(ct))
+    assert _stall_checks_eff(0, 36, 1) == 0  # disabled stays disabled
