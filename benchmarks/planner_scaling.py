@@ -34,8 +34,7 @@ os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
 
 import jax
 
-if os.environ.get("JAX_PLATFORMS"):
-    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+# CPU-only harness by design (virtual 8-device mesh + one-core pinning).
 jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp

@@ -97,7 +97,10 @@ def main() -> int:
         # branch) must reach the same pose through a different algorithm.
         q0 = jnp.asarray(q_a + 0.15 * rng.standard_normal(N), dt)
         q_d, ok = dh_robot.UR5E.pose_ik(jnp.asarray(p, dt), jnp.asarray(R, dt), q0=q0)
-        assert bool(ok), f"DLS pose IK failed to converge for grasp at {p}"
+        if not bool(ok):  # explicit (a bare assert vanishes under python -O)
+            print(f"error: DLS pose IK did not converge for grasp at {p}",
+                  file=sys.stderr)
+            return 1
         Ta = np.asarray(ur5e.tool_pose(jnp.asarray(q_a, dt)))
         Td = np.asarray(ur5e.tool_pose(q_d))
         dls_dev.append(np.linalg.norm(Ta[:3, 3] - Td[:3, 3]))

@@ -450,6 +450,30 @@ class CapsuleObstacle:
         )
 
 
+def call_linearize_rows(obstacle, points, jac, jq, radius, movable=None):
+    """Invoke an obstacle's ``linearize_rows``, forwarding ``movable`` only
+    when the implementation accepts it.
+
+    The pre-round-5 duck-typed protocol was 4-argument
+    (``linearize_rows(points, jac, jq, radius)``); round 5 added the
+    optional ``movable`` waypoint mask (relative segment cuts must not
+    demand motion from pinned endpoints).  User obstacles written against
+    the old protocol keep working — they simply never emit relative cuts.
+    Runs at trace time only (one ``inspect`` per compile)."""
+    import inspect
+
+    try:
+        params = inspect.signature(obstacle.linearize_rows).parameters
+        accepts = "movable" in params or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()
+        )
+    except (TypeError, ValueError):  # builtins/partials without signatures
+        accepts = True
+    if accepts and movable is not None:
+        return obstacle.linearize_rows(points, jac, jq, radius, movable=movable)
+    return obstacle.linearize_rows(points, jac, jq, radius)
+
+
 def stack_obstacles(obstacles):
     """Stack ``B`` same-type obstacles into ONE batched pytree with a
     leading per-problem axis on every leaf — the container the batched

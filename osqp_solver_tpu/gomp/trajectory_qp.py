@@ -847,9 +847,13 @@ def linearize_workspace(
             # Duck-typed obstacle protocol (geometry.py): one linearized
             # row per waypoint — constraint-builder.h:246-267 Z-row for
             # HorizontalLine, supporting-hyperplane row for SphereObstacle;
-            # dummy (±INF) rows share coefficients (:108-117).
-            ojac, low, upp = line.linearize_rows(
-                points, jac, jq, r, movable=movable
+            # dummy (±INF) rows share coefficients (:108-117).  ``movable``
+            # is forwarded only to implementations that accept it (the
+            # pre-round-5 4-argument protocol keeps working).
+            from .geometry import call_linearize_rows
+
+            ojac, low, upp = call_linearize_rows(
+                line, points, jac, jq, r, movable=movable
             )
             if act is not None:
                 ojac = ojac * act[:, None].astype(dt_)

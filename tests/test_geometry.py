@@ -226,3 +226,48 @@ def test_sphere_rows_gated_by_margin():
             jnp.array([[x, 0.0, 0.0]]), jac, jq, r
         )
         assert (float(low[0]) > -1e29) == live, x
+
+
+def test_legacy_four_arg_obstacle_protocol_still_works():
+    """Back-compat (round-5 review): the pre-round-5 duck-typed protocol
+    was ``linearize_rows(points, jac, jq, radius)`` with no ``movable`` —
+    user obstacles written against it must keep planning (the planner
+    forwards ``movable`` only to implementations that accept it, via
+    ``geometry.call_linearize_rows``)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from osqp_solver_tpu import RobotBall, constraints as C
+    from osqp_solver_tpu.gomp.geometry import SphereObstacle
+    from osqp_solver_tpu.gomp.planner import GOMPSolver
+    from osqp_solver_tpu.ops.status import ExitCode
+
+    inner = SphereObstacle.create([0.25, 0.0, 0.2], radius=0.3, margin=0.2)
+
+    class LegacySphere:
+        """Old-protocol wrapper: 4-argument linearize_rows, no movable."""
+
+        def violates(self, points, radius):
+            return inner.violates(points, radius)
+
+        def linearize_rows(self, points, jac, jq, radius):
+            return inner.linearize_rows(points, jac, jq, radius)
+
+    ball = RobotBall(
+        fk=lambda s: s,
+        jacobian=lambda s: jnp.eye(3, dtype=s.dtype),
+        radius=0.05,
+        is_gripper=True,
+    )
+    solver = GOMPSolver(
+        max_waypoints=10, time_step=0.1,
+        pos_con=C.in_range(3, -10, 10), vel_con=C.in_range(3, -20, 20),
+        acc_con=C.in_range(3, -40, 40), con_3d=C.in_range(3, -10, 10),
+        obstacles=[LegacySphere()], balls=[ball],
+    )
+    res = solver.run(np.array([0.0, 1.0, 0.2]), np.array([0.5, -1.0, 0.2]))
+    assert res.status == ExitCode.kOptimal
+    W = res.trajectory.size // 6
+    q = res.trajectory[: W * 3].reshape(W, 3)
+    d = np.linalg.norm(q - np.array([0.25, 0.0, 0.2]), axis=-1)
+    assert np.all(d >= 0.3 + 0.05 - 1.5e-3), d.min()
